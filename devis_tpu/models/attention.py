@@ -1,0 +1,321 @@
+"""Deformable-attention modules (flax.linen).
+
+Reimplements the reference's op-wrapper layer
+(`src/models/ops/modules/ms_deform_attn.py`):
+
+  * ``MSDeformAttn``                — single-frame multi-scale deformable attention
+                                      (reference L30-132).
+  * ``TemporalMSDeformAttnEncoder`` — per-frame current attention + temporal
+                                      attention over the other frames (L417-464).
+  * ``TemporalMSDeformAttnDecoder`` — instance-aware temporal attention with
+                                      box-modulated offsets (L288-414).
+
+TPU-first differences from the reference:
+  * The reference loops over frames in Python, issuing 2 CUDA launches per
+    frame. Here the frame loop is **vectorized**: frames ride the batch axis
+    and the other frames' features enter as extra pyramid levels via a single
+    static gather, so each layer is exactly two kernel invocations total
+    (current + temporal) regardless of T.
+  * The temporal "level stacking" trick (reference L355-361) is kept: stacked
+    geometry is `spatial_shapes * (T-1)` in (frame-major, level-minor) order.
+  * Joint softmax over current+temporal attention logits (reference L247-254).
+
+Also exposes the plain fused MHA used for decoder query self-attention.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.ms_deform_attn import ms_deform_attn, make_temporal_shapes
+
+
+def _directional_grid(n_heads: int) -> np.ndarray:
+    """Unit L∞-normalized direction per head (reference init, L64-76)."""
+    thetas = np.arange(n_heads, dtype=np.float64) * (2.0 * math.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], axis=-1)
+    grid = grid / np.abs(grid).max(axis=-1, keepdims=True)
+    return grid  # (M, 2)
+
+
+def sampling_offsets_bias_init(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
+    """Bias layout (M, L, P, 2): head-direction scaled by point index + 1."""
+    grid = _directional_grid(n_heads)[:, None, None, :]
+    grid = np.tile(grid, (1, n_levels, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+    return grid.reshape(-1).astype(np.float32)
+
+
+def temporal_sampling_offsets_bias_init(n_heads: int, n_levels: int,
+                                        t_window: int, n_points: int) -> np.ndarray:
+    """Bias layout (M, L, W, P, 2) (reference L203-212)."""
+    grid = _directional_grid(n_heads)[:, None, None, None, :]
+    grid = np.tile(grid, (1, n_levels, t_window, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, :, i, :] *= i + 1
+    return grid.reshape(-1).astype(np.float32)
+
+
+def _np_init(arr: np.ndarray):
+    return lambda key, shape, dtype=jnp.float32: jnp.asarray(arr, dtype).reshape(shape)
+
+
+def compute_sampling_locations(reference_points: jnp.ndarray,
+                               offsets: jnp.ndarray,
+                               spatial_shapes,
+                               n_points: int) -> jnp.ndarray:
+    """Sampling locations from reference points + learned offsets.
+
+    reference_points: (B, Lq, L, 2) or (B, Lq, L, 4) (normalized, per level).
+    offsets: (B, Lq, M, L, P, 2).
+    2-dim refs: loc = ref + off / (W_l, H_l)       (reference L112-117)
+    4-dim refs: loc = ref_xy + off / P * ref_wh/2  (reference L118-121)
+    """
+    if reference_points.shape[-1] == 2:
+        normalizer = jnp.asarray([[w, h] for h, w in spatial_shapes],
+                                 dtype=jnp.float32)          # (L, 2) as (x=W, y=H)
+        return (reference_points[:, :, None, :, None, :]
+                + offsets / normalizer[None, None, None, :, None, :])
+    elif reference_points.shape[-1] == 4:
+        ref = reference_points[:, :, None, :, None, :]
+        return ref[..., :2] + offsets / n_points * ref[..., 2:] * 0.5
+    raise ValueError(f"reference points last dim must be 2 or 4, got "
+                     f"{reference_points.shape[-1]}")
+
+
+class MSDeformAttn(nn.Module):
+    """Single-frame multi-scale deformable attention (reference L30-132)."""
+    d_model: int = 256
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+    impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, reference_points, input_flatten, spatial_shapes,
+                 padding_mask=None):
+        B, Lq, _ = query.shape
+        S = input_flatten.shape[1]
+        M, L, P = self.n_heads, self.n_levels, self.n_points
+        D = self.d_model // M
+
+        value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(input_flatten)
+        if padding_mask is not None:
+            value = jnp.where(padding_mask[..., None], 0.0, value)
+        value = value.reshape(B, S, M, D)
+
+        offsets = nn.Dense(M * L * P * 2,
+                           kernel_init=nn.initializers.zeros,
+                           bias_init=_np_init(sampling_offsets_bias_init(M, L, P)),
+                           dtype=self.dtype,
+                           name="sampling_offsets")(query).reshape(B, Lq, M, L, P, 2)
+        att = nn.Dense(M * L * P, kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros, dtype=self.dtype,
+                       name="attention_weights")(query).reshape(B, Lq, M, L * P)
+        att = jax.nn.softmax(att, axis=-1).reshape(B, Lq, M, L, P)
+
+        loc = compute_sampling_locations(reference_points, offsets,
+                                         spatial_shapes, P)
+        out = ms_deform_attn(value, spatial_shapes, loc, att, impl=self.impl)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
+
+
+def _temporal_frame_index(n_frames: int, t_window: int,
+                          connect_all: bool) -> np.ndarray:
+    """Static (T, W) table of absolute temporal-frame indices per frame.
+
+    All-connect: every other frame in order (reference devis_transformer.py:96-100,
+    149-151). Sliding window: frames in [-W/2, W/2] \\ {0} with reflection at
+    clip edges (reference devis_transformer.py:102-112).
+    """
+    T = n_frames
+    rows = []
+    if connect_all:
+        for t in range(T):
+            rows.append([f for f in range(T) if f != t])
+    else:
+        rel = [o for o in range(-t_window // 2, t_window // 2 + 1) if o != 0]
+        for t in range(T):
+            row = []
+            for o in rel:
+                row.append(t - o if (t + o < 0 or t + o > T - 1) else t + o)
+            rows.append(row)
+    return np.asarray(rows, dtype=np.int32)
+
+
+class TemporalMSDeformAttnBase(nn.Module):
+    """Shared projections of the temporal attention (reference L137-266)."""
+    n_frames: int = 6
+    d_model: int = 256
+    n_levels: int = 4
+    t_window: int = 2
+    n_heads: int = 8
+    n_curr_points: int = 4
+    n_temporal_points: int = 2
+    impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    def _projections(self, query, input_flatten, padding_mask):
+        """Returns value, current offsets, temporal offsets and the jointly
+        softmaxed current/temporal attention weights (reference L225-266)."""
+        T, Lq, _ = query.shape
+        S = input_flatten.shape[1]
+        M, L, W = self.n_heads, self.n_levels, self.t_window
+        Pc, Pt = self.n_curr_points, self.n_temporal_points
+        D = self.d_model // M
+
+        value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(input_flatten)
+        if padding_mask is not None:
+            value = jnp.where(padding_mask[..., None], 0.0, value)
+        value = value.reshape(T, S, M, D)
+
+        t_off = nn.Dense(
+            M * L * W * Pt * 2, kernel_init=nn.initializers.zeros,
+            bias_init=_np_init(temporal_sampling_offsets_bias_init(M, L, W, Pt)),
+            dtype=self.dtype,
+            name="temporal_sampling_offsets")(query)
+        # Runtime stacked-level layout is frame-major: (W, L).
+        t_off = t_off.reshape(T, Lq, M, W, L, Pt, 2).reshape(T, Lq, M, W * L, Pt, 2)
+
+        t_att = nn.Dense(M * L * W * Pt, kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros, dtype=self.dtype,
+                         name="temporal_attention_weights")(query)
+        t_att = t_att.reshape(T, Lq, M, W * L * Pt)
+
+        c_att = nn.Dense(M * L * Pc, kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros, dtype=self.dtype,
+                         name="attention_weights")(query).reshape(T, Lq, M, L * Pc)
+
+        # Joint softmax over current + temporal logits (reference L247-254).
+        joint = jax.nn.softmax(jnp.concatenate([c_att, t_att], axis=-1), axis=-1)
+        att_curr = joint[..., :L * Pc].reshape(T, Lq, M, L, Pc)
+        att_temp = joint[..., L * Pc:].reshape(T, Lq, M, W * L, Pt)
+
+        c_off = nn.Dense(M * L * Pc * 2, kernel_init=nn.initializers.zeros,
+                         bias_init=_np_init(sampling_offsets_bias_init(M, L, Pc)),
+                         dtype=self.dtype,
+                         name="sampling_offsets")(query).reshape(T, Lq, M, L, Pc, 2)
+
+        return value, c_off, t_off, att_curr, att_temp
+
+    def _output(self, x):
+        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(x)
+
+    @staticmethod
+    def stack_temporal_values(value: jnp.ndarray, frame_index: np.ndarray):
+        """Gather each frame's temporal-value tensor with a static index.
+
+        value: (T, S, M, D) → (T, W*S, M, D), frames stacked along the level
+        axis (the reference's `value[temporal_frames].flatten(0, 1)`, L340/446).
+        """
+        T, S, M, D = value.shape
+        gathered = value[jnp.asarray(frame_index)]       # (T, W, S, M, D)
+        return gathered.reshape(T, frame_index.shape[1] * S, M, D)
+
+
+class TemporalMSDeformAttnEncoder(TemporalMSDeformAttnBase):
+    """Encoder temporal attention (reference L417-464), batched over frames."""
+    connect_all: bool = True
+
+    @nn.compact
+    def __call__(self, query, reference_points, input_flatten, spatial_shapes,
+                 padding_mask=None):
+        assert reference_points.shape[-1] == 2
+        T = self.n_frames
+        W = T - 1 if self.connect_all else self.t_window
+        value, c_off, t_off, att_c, att_t = self._projections(
+            query, input_flatten, padding_mask)
+
+        loc_c = compute_sampling_locations(reference_points, c_off,
+                                           spatial_shapes, self.n_curr_points)
+        out_c = ms_deform_attn(value, spatial_shapes, loc_c, att_c, impl=self.impl)
+
+        frame_index = _temporal_frame_index(T, self.t_window, self.connect_all)
+        t_value = self.stack_temporal_values(value, frame_index)
+        t_shapes = make_temporal_shapes(spatial_shapes, W)
+        # Temporal reference point = level-0 reference point (reference L447).
+        t_ref = reference_points[:, :, 0:1, :]           # (T, Lq, 1, 2)
+        t_ref = jnp.broadcast_to(t_ref, t_ref.shape[:2] + (W * self.n_levels, 2))
+        loc_t = compute_sampling_locations(t_ref, t_off, t_shapes,
+                                           self.n_temporal_points)
+        out_t = ms_deform_attn(t_value, t_shapes, loc_t, att_t, impl=self.impl)
+
+        return self._output(out_c + out_t)
+
+
+class TemporalMSDeformAttnDecoder(TemporalMSDeformAttnBase):
+    """Decoder temporal attention with instance-aware temporal reference
+    points (reference L288-414), batched over frames."""
+    instance_aware: bool = True
+
+    @nn.compact
+    def __call__(self, query, reference_points, input_flatten, spatial_shapes,
+                 padding_mask=None):
+        T = self.n_frames
+        W = T - 1
+        Lq = query.shape[1] // T
+        C = query.shape[-1]
+        query = query.reshape(T, Lq, C)
+        if reference_points.shape[0] != T:
+            reference_points = reference_points.reshape(
+                (T, Lq) + reference_points.shape[-2:])
+
+        value, c_off, t_off, att_c, att_t = self._projections(
+            query, input_flatten, padding_mask)
+
+        loc_c = compute_sampling_locations(reference_points, c_off,
+                                           spatial_shapes, self.n_curr_points)
+        out_c = ms_deform_attn(value, spatial_shapes, loc_c, att_c, impl=self.impl)
+
+        frame_index = _temporal_frame_index(T, W, True)
+        t_value = self.stack_temporal_values(value, frame_index)
+        t_shapes = make_temporal_shapes(spatial_shapes, W)
+
+        L = self.n_levels
+        refdim = reference_points.shape[-1]
+        if self.instance_aware:
+            # Same trajectory's reference points in the other frames
+            # (reference L342-347): (T, W, Lq, L, c) → (T, Lq, W*L, c).
+            t_ref = reference_points[jnp.asarray(frame_index)]
+            t_ref = jnp.transpose(t_ref, (0, 2, 1, 3, 4)).reshape(T, Lq, W * L, refdim)
+        else:
+            t_ref = jnp.tile(reference_points, (1, 1, W, 1))
+        loc_t = compute_sampling_locations(t_ref, t_off, t_shapes,
+                                           self.n_temporal_points)
+        out_t = ms_deform_attn(t_value, t_shapes, loc_t, att_t, impl=self.impl)
+
+        out = self._output(out_c + out_t)                 # (T, Lq, C)
+        return out.reshape(1, T * Lq, C)
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA matching torch's nn.MultiheadAttention math; used for the
+    decoder's query self-attention (reference deformable_transformer.py:231)."""
+    d_model: int
+    n_heads: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, deterministic: bool = True):
+        B, Lq, C = q.shape
+        Dh = C // self.n_heads
+        qp = nn.Dense(C, dtype=self.dtype, name="q_proj")(q)
+        kp = nn.Dense(C, dtype=self.dtype, name="k_proj")(k)
+        vp = nn.Dense(C, dtype=self.dtype, name="v_proj")(v)
+        qp = qp.reshape(B, -1, self.n_heads, Dh).transpose(0, 2, 1, 3)
+        kp = kp.reshape(B, -1, self.n_heads, Dh).transpose(0, 2, 1, 3)
+        vp = vp.reshape(B, -1, self.n_heads, Dh).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qp, kp) / math.sqrt(Dh)
+        att = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        att = nn.Dropout(self.dropout)(att, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, vp)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, C)
+        return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)

@@ -1,0 +1,209 @@
+"""Near-online multi-cue clip tracker.
+
+Behavioral equivalent of the reference `Tracker` (`src/models/tracker.py:226-462`):
+per video, overlapping clips are run through the model; the first clip seeds
+the video tracks; each later clip is stitched via the Hungarian inference
+matcher (globally, or per category with kill/spawn logic); masks leaving the
+overlap window are RLE-encoded; final tracks are filtered by score/detection
+thresholds and formatted for the YouTube-VIS results.json.
+
+TPU-first split of responsibilities: the device step (`infer_fn`) returns
+static-shaped arrays (scores/labels/boxes/centers at top-k, mask logits at /4
+resolution for a static trajectory set). The host crops the padded canvas,
+resizes mask logits to the original video size (cv2, half-pixel bilinear =
+torch align_corners=False), applies sigmoid, and runs all stitching — so the
+TPU is free to run the next clip while the host stitches the previous one.
+"""
+from __future__ import annotations
+
+import time
+from types import SimpleNamespace
+from typing import Callable, Dict, List, Optional
+
+import cv2
+import numpy as np
+
+from .inference_matcher import HungarianInferenceMatcher
+from .track import Track, encode_mask
+
+
+def process_boxes_host(boxes_cxcywh: np.ndarray, tgt_size) -> np.ndarray:
+    """Normalized cxcywh → absolute xyxy clamped to the image
+    (reference devis_segmentation.py:119-127)."""
+    h, w = tgt_size
+    cx, cy, bw, bh = np.moveaxis(boxes_cxcywh, -1, 0)
+    out = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1)
+    out = out * np.asarray([w, h, w, h], dtype=out.dtype)
+    out[..., 0::2] = np.clip(out[..., 0::2], 0, w)
+    out[..., 1::2] = np.clip(out[..., 1::2], 0, h)
+    return out
+
+
+class Tracker:
+    def __init__(self, infer_fn: Callable, hungarian_matcher: HungarianInferenceMatcher,
+                 tracker_cfg: Dict, num_frames: int, overlap_window: int):
+        """infer_fn(clip) → dict of numpy arrays with keys
+        scores (T, K), labels (K,), boxes (T, K, 4) normalized cxcywh,
+        center_points (T, K, 2), mask_logits (Nm, T, h, w) at model stride,
+        mask_gather (K,) row of mask_logits per detection, plus
+        valid_hw = (h_valid, w_valid) of the un-padded region of mask_logits."""
+        self.infer_fn = infer_fn
+        self.matcher = hungarian_matcher
+        self.cfg = SimpleNamespace(**tracker_cfg)
+        self.num_frames = num_frames
+        self.overlap_window = overlap_window
+
+    # -- mask post-processing (reference L239-260) --------------------------
+    def _process_masks(self, start_idx: int, clip_idx: int, is_last: bool,
+                       tgt_size, logits: np.ndarray, valid_hw) -> List:
+        """logits: (T, h, w) model-stride mask logits for one trajectory."""
+        T = logits.shape[0]
+        hv, wv = valid_hw
+        out = []
+        for t in range(T):
+            m = logits[t, :hv, :wv].astype(np.float32)
+            m = cv2.resize(m, (tgt_size[1], tgt_size[0]),
+                           interpolation=cv2.INTER_LINEAR)
+            prob = 1.0 / (1.0 + np.exp(-m))
+            if self.matcher.use_binary_mask_iou:
+                out.append(encode_mask(prob))
+            elif clip_idx == 0:
+                out.append(encode_mask(prob)
+                           if t < T - self.overlap_window else prob)
+            else:
+                freeze = (self.overlap_window + start_idx <= t < T - self.overlap_window
+                          or t < start_idx)
+                out.append(encode_mask(prob) if freeze else prob)
+        return out
+
+    def __call__(self, video, all_times: Optional[List] = None):
+        real_len = video.real_video_length
+        clip_length = (self.num_frames if real_len is None
+                       or real_len >= self.num_frames else real_len)
+        video_tracks = None
+        times = []
+
+        track_counter = 0
+        cats_dict: Dict[int, List[int]] = {}
+        num_clips = len(video)
+
+        for clip_idx in range(num_clips):
+            t0 = time.time()
+            results = self.infer_fn(video, clip_idx)
+            times.append(time.time() - t0)
+
+            scores = results["scores"][:clip_length]
+            labels = results["labels"] + 1                 # category ids 1-based
+            boxes = process_boxes_host(results["boxes"][:clip_length],
+                                       video.original_size)
+            centers = results["center_points"][:clip_length]
+            mask_logits = results["mask_logits"]
+            mask_gather = results["mask_gather"]
+            K = scores.shape[1]
+
+            is_last = clip_idx == num_clips - 1
+            start_idx = video.last_real_idx if is_last else 0
+            clip_tracks = [Track(i, clip_length, start_idx) for i in range(K)]
+            clip_cats: Dict[int, List[int]] = {}
+
+            processed: Dict[int, List] = {}
+            for i, track in enumerate(clip_tracks):
+                mid = int(mask_gather[i])
+                if mid not in processed:
+                    processed[mid] = self._process_masks(
+                        start_idx, clip_idx, is_last, video.original_size,
+                        mask_logits[mid][:clip_length], results["valid_hw"])
+                cat = int(labels[i])
+                clip_cats.setdefault(cat, []).append(i)
+                track.update(scores[:, i], [cat] * clip_length, boxes[:, i],
+                             processed[mid], centers[:, i], mid)
+
+            t1 = time.time()
+            if video_tracks is None:
+                # First clip seeds the video tracks (reference L350-363).
+                track_counter += K - 1
+                video_tracks = [Track(i, video.final_video_length, start_idx)
+                                for i in range(K)]
+                for new_track in clip_tracks:
+                    cat = new_track.categories[0]
+                    cats_dict.setdefault(cat, []).append(new_track.get_id())
+                    video_tracks[new_track.get_id()].init_video_track(
+                        clip_length, new_track)
+                for tr in video_tracks:
+                    tr.update_stride(clip_length)
+            elif not self.cfg.per_class_matching:
+                ids1, ids2 = self.matcher(video_tracks, clip_tracks)
+                for p1, p2 in zip(ids1, ids2):
+                    video_tracks[p1].append_track(clip_tracks[p2],
+                                                  self.overlap_window)
+                for tr in video_tracks:
+                    tr.update_stride_and_encode_masks(
+                        clip_length - self.overlap_window, self.overlap_window)
+            else:
+                self._per_class_stitch(video, video_tracks, clip_tracks,
+                                       cats_dict, clip_cats,
+                                       lambda: track_counter)
+                track_counter = self._track_counter
+                stride = clip_length - self.overlap_window
+                for tr in video_tracks:
+                    tr.update_stride_and_encode_masks(stride, self.overlap_window)
+            times.append(time.time() - t1)
+
+        if all_times is not None:
+            all_times.append(sum(times))
+
+        # -- final filtering (reference L434-448) ---------------------------
+        if self.cfg.track_min_detection_score != 0:
+            for tr in video_tracks:
+                tr.filter_frame_detections(self.cfg.track_min_detection_score)
+        video_tracks = [tr for tr in video_tracks
+                        if tr.valid(self.cfg.track_min_detections)]
+        if self.cfg.track_min_score != 0:
+            video_tracks = [
+                tr for tr in video_tracks
+                if tr.compute_final_score(self.cfg.final_score_policy)
+                > self.cfg.track_min_score]
+        for tr in video_tracks:
+            tr.encode_all_masks()
+
+        return [tr.get_formatted_result(video.video_id,
+                                        self.cfg.final_class_policy,
+                                        self.cfg.final_score_policy)
+                for tr in video_tracks]
+
+    # -- per-class stitching with kill/spawn (reference L376-427) -----------
+    def _per_class_stitch(self, video, video_tracks, clip_tracks, cats_dict,
+                          clip_cats, counter_fn):
+        self._track_counter = counter_fn()
+
+        def add_new(cat, ids):
+            for cid in ids:
+                self._track_counter += 1
+                t = Track(self._track_counter, video.final_video_length, 0)
+                t.update_stride(video_tracks[0].last_t)
+                t.add_video_track(self.overlap_window, clip_tracks[cid])
+                video_tracks.append(t)
+                cats_dict.setdefault(cat, []).append(t.get_id())
+
+        for cat in set(list(cats_dict.keys()) + list(clip_cats.keys())):
+            vids = cats_dict.get(cat, [])
+            clips = clip_cats.get(cat, [])
+            if not clips:
+                for vid in vids:
+                    video_tracks[vid].kill_track()
+                del cats_dict[cat]
+            elif not vids:
+                add_new(cat, clips)
+            else:
+                v_tracks = [video_tracks[i] for i in vids]
+                c_tracks = [clip_tracks[i] for i in clips]
+                m1, m2 = self.matcher(v_tracks, c_tracks)
+                matched_v = [vids[i] for i in m1]
+                matched_c = [clips[i] for i in m2]
+                for p1, p2 in zip(matched_v, matched_c):
+                    video_tracks[p1].append_track(clip_tracks[p2],
+                                                  self.overlap_window)
+                for vid in set(vids) - set(matched_v):
+                    video_tracks[vid].kill_track()
+                    cats_dict[cat].remove(vid)
+                add_new(cat, sorted(set(clips) - set(matched_c)))

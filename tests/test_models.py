@@ -1,0 +1,149 @@
+"""End-to-end model forward tests (tiny shapes, CPU).
+
+Verifies that each model family builds from reference-style configs, runs
+forward under jit with static shapes, produces finite outputs of the right
+shapes, and composes with the criterion.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from devis_tpu.config import get_cfg_defaults
+from devis_tpu.models import build_model
+from devis_tpu.models.criterion import (build_weight_dict, clip_criterion,
+                                        image_criterion, weighted_total)
+
+
+def _small_cfg(vis=False, mask_on=False):
+    cfg = get_cfg_defaults()
+    cfg.MODEL.TRANSFORMER.ENCODER_LAYERS = 2
+    cfg.MODEL.TRANSFORMER.DECODER_LAYERS = 2
+    cfg.MODEL.LOSS.MASK_AUX_LOSS = [0]
+    cfg.MODEL.NUM_QUERIES = 12
+    cfg.MODEL.MASK_ON = mask_on
+    cfg.TEST.NUM_OUT = 5
+    if vis:
+        cfg.DATASETS.TYPE = "vis"
+        cfg.MODEL.DEVIS.NUM_FRAMES = 3
+        cfg.MODEL.NUM_QUERIES = 12      # 4 per frame
+        cfg.SOLVER.BATCH_SIZE = 1
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def rng_np():
+    return np.random.RandomState(1)
+
+
+class TestImageModel:
+    def test_segm_forward_train_and_criterion(self, rng_np):
+        cfg = _small_cfg(mask_on=True)
+        model = build_model(num_classes=7, cfg=cfg)
+        B, H, W, N = 2, 64, 96, 3
+        imgs = jnp.asarray(rng_np.rand(B, H, W, 3), jnp.float32)
+        mask = np.zeros((B, H, W), bool)
+        mask[0, 48:, :] = True
+        targets = {
+            "labels": jnp.asarray(rng_np.randint(0, 6, (B, N)), jnp.int32),
+            "boxes": jnp.asarray(rng_np.rand(B, N, 4) * 0.4 + 0.3, jnp.float32),
+            "valid": jnp.asarray([[True, True, False], [True, False, False]]),
+            "masks": jnp.asarray(rng_np.rand(B, N, H, W) > 0.7, jnp.float32),
+        }
+        variables = model.init(jax.random.PRNGKey(0), imgs, jnp.asarray(mask),
+                               targets=targets, train=True)
+
+        @jax.jit
+        def fwd(v, imgs, mask):
+            return model.apply(v, imgs, mask, targets=targets, train=True,
+                               rngs={"dropout": jax.random.PRNGKey(1)},
+                               deterministic=False)
+
+        out = fwd(variables, imgs, jnp.asarray(mask))
+        assert out["pred_logits"].shape == (B, 12, 7)
+        assert out["pred_boxes"].shape == (B, 12, 4)
+        assert out["pred_masks"].shape[:2] == (B, N)
+        assert "pred_masks" in out["aux_outputs"][0]
+
+        losses = image_criterion(
+            out, targets, num_classes=6,
+            matcher_cfg=dict(cost_class=2.0, cost_bbox=5.0, cost_giou=2.0),
+            mask_on=True)
+        wd = build_weight_dict(cfg)
+        total = weighted_total(losses, wd)
+        assert np.isfinite(float(total))
+        assert "loss_mask" in losses and "loss_mask_0" in losses
+
+    def test_segm_forward_eval(self, rng_np):
+        cfg = _small_cfg(mask_on=True)
+        model = build_model(num_classes=7, cfg=cfg)
+        B, H, W = 1, 64, 64
+        imgs = jnp.asarray(rng_np.rand(B, H, W, 3), jnp.float32)
+        mask = jnp.zeros((B, H, W), bool)
+        variables = model.init(jax.random.PRNGKey(0), imgs, mask)
+        out = jax.jit(lambda v, i, m: model.apply(v, i, m, train=False))(
+            variables, imgs, mask)
+        tk = out["top_k"]
+        assert tk["scores"].shape == (B, 5)
+        assert tk["masks"].shape[:2] == (B, 5)
+        assert bool(jnp.all(tk["scores"][:, :-1] >= tk["scores"][:, 1:]))
+
+
+class TestDeVISModel:
+    def test_forward_train_and_criterion(self, rng_np):
+        cfg = _small_cfg(vis=True)
+        model = build_model(num_classes=5, cfg=cfg)
+        T, H, W, N = 3, 64, 64, 2
+        imgs = jnp.asarray(rng_np.rand(T, H, W, 3), jnp.float32)
+        mask = jnp.zeros((T, H, W), bool)
+        targets = {
+            "labels": jnp.asarray(rng_np.randint(0, 4, (N,)), jnp.int32),
+            "boxes": jnp.asarray(rng_np.rand(N, T, 4) * 0.4 + 0.3, jnp.float32),
+            "valid": jnp.asarray([[True, True, True], [True, False, True]]),
+            "exists": jnp.asarray([True, True]),
+            "masks": jnp.asarray(rng_np.rand(N, T, H, W) > 0.7, jnp.float32),
+        }
+        variables = model.init(jax.random.PRNGKey(0), imgs, mask,
+                               targets=targets, train=True)
+        out = jax.jit(lambda v, i, m: model.apply(
+            v, i, m, targets=targets, train=True))(variables, imgs, mask)
+        assert out["pred_logits"].shape == (1, T * 4, 5)
+        assert out["pred_masks"].shape[:2] == (N, T)
+
+        losses = clip_criterion(
+            out, targets, num_classes=4, num_frames=T,
+            matcher_cfg=dict(cost_class=2.0, cost_bbox=5.0, cost_giou=2.0),
+            mask_on=True)
+        wd = build_weight_dict(cfg)
+        total = weighted_total(losses, wd)
+        assert np.isfinite(float(total)), losses
+
+    def test_forward_eval(self, rng_np):
+        cfg = _small_cfg(vis=True)
+        model = build_model(num_classes=5, cfg=cfg)
+        T, H, W = 3, 64, 64
+        imgs = jnp.asarray(rng_np.rand(T, H, W, 3), jnp.float32)
+        mask = jnp.zeros((T, H, W), bool)
+        variables = model.init(jax.random.PRNGKey(0), imgs, mask)
+        out, results = jax.jit(lambda v, i, m, cl: model.apply(
+            v, i, m, train=False, clip_length=cl))(
+            variables, imgs, mask, jnp.asarray(T))
+        assert results["scores"].shape == (T, 5)
+        assert results["labels"].shape == (5,)
+        assert results["boxes"].shape == (T, 5, 4)
+        # Nq=4 <= num_out=5 → masks computed for all 4 trajectories
+        assert results["masks"].shape[:2] == (4, T)
+        assert results["mask_gather"].shape == (5,)
+        assert bool(jnp.isfinite(results["masks"]).all())
+
+    def test_ablation_no_temporal(self, rng_np):
+        cfg = _small_cfg(vis=True)
+        cfg.MODEL.DEVIS.DEFORMABLE_ATTENTION.DISABLE_TEMPORAL_CONNECTIONS = True
+        model = build_model(num_classes=5, cfg=cfg)
+        T, H, W = 3, 64, 64
+        imgs = jnp.asarray(rng_np.rand(T, H, W, 3), jnp.float32)
+        mask = jnp.zeros((T, H, W), bool)
+        variables = model.init(jax.random.PRNGKey(0), imgs, mask)
+        out, results = model.apply(variables, imgs, mask, train=False)
+        assert results["scores"].shape == (T, 5)
