@@ -1,0 +1,68 @@
+"""Flagship benchmark: DeVIS R50 clip inference throughput on one TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference reports 18.4 FPS for YT-VIS-19 R50 at T=6, stride 4
+(`/root/reference/README.md:42`) — video frames per second of the near-online
+pipeline, where each overlapping clip contributes `stride` new frames. Our
+tracker runs host-side and is designed to overlap with the next clip's device
+forward, so device clip latency is the throughput bound:
+    FPS = stride / clip_forward_latency.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 18.4
+T, STRIDE = 6, 4
+H, W = 360, 640          # shorter-side-360 eval bucket (INPUT.MIN_SIZE_TEST)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from devis_tpu.config import get_cfg_defaults
+    from devis_tpu.models import build_model
+
+    cfg = get_cfg_defaults()
+    cfg.DATASETS.TYPE = "vis"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.LOSS.MASK_AUX_LOSS = [0]
+    cfg.MODEL.NUM_QUERIES = 360
+    cfg.MODEL.DEVIS.NUM_FRAMES = T
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.freeze()
+    model = build_model(num_classes=41, cfg=cfg)
+
+    rs = np.random.RandomState(0)
+    imgs = jnp.asarray(rs.rand(T, H, W, 3), jnp.float32)
+    mask = jnp.zeros((T, H, W), bool)
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = jax.jit(model.init, backend="cpu")(
+            jax.random.PRNGKey(0), imgs, mask, train=False)
+
+    dev = jax.devices()[0]
+    variables, imgs, mask = jax.device_put((variables, imgs, mask), dev)
+    fwd = jax.jit(lambda v, i, m: model.apply(v, i, m, train=False))
+
+    jax.block_until_ready(fwd(variables, imgs, mask))     # compile
+    # Amortize tunnel dispatch latency over a chain of steps.
+    n_iter = 10
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n_iter):
+        out = fwd(variables, imgs, mask)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+    fps = STRIDE / dt
+    print(json.dumps({"metric": "yt19_r50_clip_inference_fps",
+                      "value": round(fps, 2), "unit": "frames/s",
+                      "vs_baseline": round(fps / BASELINE_FPS, 3)}))
+
+
+if __name__ == "__main__":
+    main()
