@@ -47,16 +47,24 @@ def main():
 
     dev = jax.devices()[0]
     variables, imgs, mask = jax.device_put((variables, imgs, mask), dev)
-    fwd = jax.jit(lambda v, i, m: model.apply(v, i, m, train=False))
 
-    jax.block_until_ready(fwd(variables, imgs, mask))     # compile
-    # Amortize tunnel dispatch latency over a chain of steps.
+    @jax.jit
+    def step(v, images, pad_mask):
+        out, res = model.apply(v, images, pad_mask, train=False)
+        # Loop-carried data dependency: the next iteration's input depends on
+        # this iteration's output, so chained executions cannot overlap or be
+        # elided, and one final host readback times the whole chain honestly
+        # (block_until_ready alone is unreliable through the device tunnel).
+        perturb = (res["scores"].sum() * 1e-12).astype(images.dtype)
+        return images + perturb, res
+
+    imgs, res = step(variables, imgs, mask)               # compile + warm
+    float(res["scores"][0, 0])
     n_iter = 10
     t0 = time.perf_counter()
-    out = None
     for _ in range(n_iter):
-        out = fwd(variables, imgs, mask)
-    jax.block_until_ready(out)
+        imgs, res = step(variables, imgs, mask)
+    float(res["scores"][0, 0])                            # force completion
     dt = (time.perf_counter() - t0) / n_iter
     fps = STRIDE / dt
     print(json.dumps({"metric": "yt19_r50_clip_inference_fps",

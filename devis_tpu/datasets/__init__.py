@@ -112,6 +112,90 @@ def collate_clip(sample: Dict, canvas: Tuple[int, int], max_instances: int,
                         "exists": exists, "masks": masks}}
 
 
+class TrainLoader:
+    """Host-side batching loader with static-shape collation.
+
+    Replaces the reference's torch DataLoader + DistributedSampler
+    (`main.py:142-158`): each epoch yields device-ready padded batches.
+    Images are bucketed to a small static canvas set so jit compiles once
+    per bucket (the TPU replacement for ragged NestedTensor batches).
+    Background prefetch (one worker thread) overlaps host decode/augment
+    with device steps.
+    """
+
+    def __init__(self, dataset, batch_size: int, vis: bool,
+                 buckets: Sequence[Tuple[int, int]], max_instances: int = 25,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.vis = vis
+        self.buckets = list(buckets)
+        self.max_instances = max_instances
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batch(self, idxs) -> Dict:
+        if self.vis:
+            samples = [self.dataset[i] for i in idxs]
+            # one canvas per batch: the largest bucket needed by any member
+            hw = [(s["images"].shape[1], s["images"].shape[2]) for s in samples]
+            canvas = pick_canvas(max(h for h, _ in hw), max(w for _, w in hw),
+                                 self.buckets)
+            clips = [collate_clip(s, canvas, self.max_instances)
+                     for s in samples]
+            return {k: np.stack([c[k] for c in clips]) if not isinstance(
+                        clips[0][k], dict)
+                    else {kk: np.stack([c[k][kk] for c in clips])
+                          for kk in clips[0][k]}
+                    for k in clips[0]}
+        samples = [self.dataset[i] for i in idxs]
+        hw = [s["image"].shape[:2] for s in samples]
+        canvas = pick_canvas(max(h for h, _ in hw), max(w for _, w in hw),
+                             self.buckets)
+        return collate_images(samples, canvas, self.max_instances)
+
+    def __iter__(self):
+        import queue
+        import threading
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, n, self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    q.put(self._batch(b))
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+
+
 def build_dataset(image_set: str, cfg):
     """Returns (dataset, num_classes) (reference datasets/__init__.py:28-46)."""
     if cfg.DATASETS.TYPE == "vis":

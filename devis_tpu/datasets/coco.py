@@ -64,6 +64,10 @@ class CocoDetection:
     def __len__(self):
         return len(self.ids)
 
+    def gt_dict(self) -> Dict:
+        """The full COCO annotation dict (for the evaluator)."""
+        return self.coco
+
     def _load_image(self, info) -> np.ndarray:
         path = os.path.join(self.img_folder, info["file_name"])
         img = cv2.imread(path, cv2.IMREAD_COLOR)

@@ -235,3 +235,27 @@ class SyntheticCocoDataset:
                 "masks": np.stack(masks),
                 "valid": np.asarray([m.sum() > 2 for m in masks]),
                 "image_id": idx, "orig_size": self.size}
+
+    def gt_dict(self) -> Dict:
+        """COCO-style annotation dict for the evaluator."""
+        h, w = self.size
+        images, annotations = [], []
+        aid = 0
+        for idx, v in enumerate(self.scenes):
+            images.append({"id": idx, "height": h, "width": w})
+            _, masks = v.render(0)
+            for inst, m in zip(v.insts, masks):
+                ys, xs = np.nonzero(m)
+                if not len(ys):
+                    continue
+                aid += 1
+                annotations.append({
+                    "id": aid, "image_id": idx, "category_id": inst["cat"],
+                    "bbox": [float(xs.min()), float(ys.min()),
+                             float(xs.max() + 1 - xs.min()),
+                             float(ys.max() + 1 - ys.min())],
+                    "area": int(m.sum()), "iscrowd": 0,
+                    "segmentation": rle_lib.encode(m > 0)})
+        return {"images": images, "annotations": annotations,
+                "categories": [{"id": c, "name": f"cat{c}"}
+                               for c in range(1, 6)]}

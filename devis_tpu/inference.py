@@ -1,0 +1,212 @@
+"""Inference engines: VIS per-video tracking and COCO evaluation loops.
+
+Reference counterparts: `src/engine.py:206-262` (`inference_vis` — per-video
+tracker calls, FPS accounting, TrackEval, results.json + zip) and
+`src/engine.py:98-203` (`evaluate_coco`), plus the tracker factory
+(`src/models/__init__.py:84-108`).
+
+TPU-first choreography: the device step is a single jitted eval forward with
+static shapes (one compile per canvas bucket); everything downstream —
+canvas cropping, sigmoid + resize of mask logits, clip stitching, RLE, eval —
+is host-side numpy, so the device can run the next clip while the host
+stitches the previous one (async dispatch: `infer_fn` returns device arrays
+and conversion happens lazily at first numpy access).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+import zipfile
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .datasets import pick_canvas, round_up
+from .evaluation.coco_eval import CocoEvaluator
+from .evaluation.track_map import evaluate_vis as trackmap_evaluate
+from .models.detr import postprocess_detections
+from .tracking.inference_matcher import HungarianInferenceMatcher
+from .tracking.tracker import Tracker
+
+
+# ---------------------------------------------------------------------------
+# VIS: device step factory + tracker
+# ---------------------------------------------------------------------------
+
+def make_eval_buckets(min_size: int, max_size: int, n: int = 1,
+                      multiple: int = 64) -> List[Tuple[int, int]]:
+    """Static eval canvas buckets: shorter side `min_size`, longer capped at
+    `max_size`, both orientations, rounded up to `multiple`."""
+    s, m = round_up(min_size, multiple), round_up(max_size, multiple)
+    return [(s, m), (m, s), (s, s)]
+
+
+class VISInferFn:
+    """Tracker-compatible `infer_fn(video, clip_idx)`.
+
+    Loads + pads a clip to a static canvas, runs the jitted eval forward
+    (one compile per canvas), and adapts outputs to the Tracker contract
+    (scores (T,K), labels (K,), boxes (T,K,4) cxcywh-normalized to the
+    canvas → rescaled here to the un-padded image, mask_logits (Nm,T,h,w),
+    mask_gather, valid_hw)."""
+
+    def __init__(self, model, variables, num_frames: int,
+                 buckets: List[Tuple[int, int]], mask_stride: int = 4):
+        self.model = model
+        self.variables = variables
+        self.num_frames = num_frames
+        self.buckets = buckets
+        self.mask_stride = mask_stride
+        self._fwd = jax.jit(
+            lambda v, i, m, cl: model.apply(v, i, m, train=False,
+                                            clip_length=cl))
+
+    def __call__(self, video, clip_idx: int) -> Dict[str, np.ndarray]:
+        frames = video.load_clip(clip_idx)            # (T, h, w, 3) normalized
+        T, h, w = frames.shape[:3]
+        assert T == self.num_frames, (T, self.num_frames)
+        Hc, Wc = pick_canvas(h, w, self.buckets)
+        images = np.zeros((T, Hc, Wc, 3), np.float32)
+        pad_mask = np.ones((T, Hc, Wc), bool)
+        images[:, :h, :w] = frames
+        pad_mask[:, :h, :w] = False
+
+        real_len = video.real_video_length
+        clip_length = T if real_len is None or real_len >= T else real_len
+
+        out, res = self._fwd(self.variables, jnp.asarray(images),
+                             jnp.asarray(pad_mask), jnp.asarray(clip_length))
+        res = jax.device_get(res)
+        # Predictions are normalized to the UN-padded image (the valid-ratio
+        # machinery, transformer.py:258) — no canvas rescale needed.
+        boxes = res["boxes"]
+        centers = res["center_points"]
+        st = self.mask_stride
+        hv = max(1, round(h / st))
+        wv = max(1, round(w / st))
+        return {"scores": res["scores"], "labels": res["labels"],
+                "boxes": boxes, "center_points": centers,
+                "mask_logits": res["masks"], "mask_gather": res["mask_gather"],
+                "valid_hw": (hv, wv)}
+
+
+def build_tracker(cfg, model, variables) -> Tracker:
+    """Reference `build_tracker` (`src/models/__init__.py:84-108`)."""
+    ct = cfg.TEST.CLIP_TRACKING
+    T = cfg.MODEL.DEVIS.NUM_FRAMES
+    overlap = T - ct.STRIDE
+    buckets = make_eval_buckets(cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST)
+    infer_fn = VISInferFn(model, variables, T, buckets)
+    matcher = HungarianInferenceMatcher(
+        overlap_window=overlap, cost_class=ct.CLASS_COST,
+        cost_mask_iou=ct.MASK_COST, score_cost=ct.SCORE_COST,
+        center_distance_cost=ct.CENTER_COST,
+        use_binary_mask_iou=ct.USE_BINARY_MASK_IOU,
+        use_frame_average_iou=ct.USE_FRAME_AVERAGE_IOU)
+    tracker_cfg = dict(
+        per_class_matching=ct.PER_CLASS_MATCHING,
+        track_min_detection_score=ct.MIN_FRAME_SCORE,
+        track_min_score=ct.MIN_TRACK_SCORE,
+        track_min_detections=ct.MIN_DETECTIONS,
+        final_class_policy=ct.FINAL_CLASS_POLICY,
+        final_score_policy=ct.FINAL_SCORE_POLICY)
+    return Tracker(infer_fn, matcher, tracker_cfg, T, overlap)
+
+
+def inference_vis(tracker: Tracker, dataset, output_dir: Optional[str] = None,
+                  verbose: bool = True) -> Dict:
+    """Per-video tracking over the val set (reference engine.py:206-262).
+    Returns {'results': [...], 'fps': float [, 'eval': TrackMAP summary]}."""
+    all_results: List[Dict] = []
+    times: List[float] = []
+    for i in range(len(dataset)):
+        video = dataset[i]
+        t0 = time.time()
+        all_results.extend(tracker(video, all_times=times))
+        if verbose:
+            print(f"video {i + 1}/{len(dataset)} "
+                  f"({time.time() - t0:.2f}s)", flush=True)
+
+    total_frames = dataset.get_total_num_frames()
+    fps = total_frames / max(sum(times), 1e-9)
+    out = {"results": all_results, "fps": fps}
+
+    if getattr(dataset, "has_gt", False):
+        gt = (dataset.gt_dict() if hasattr(dataset, "gt_dict")
+              else dataset.annotations)
+        out["eval"] = trackmap_evaluate(gt, all_results)
+        if verbose:
+            e = out["eval"]
+            print(f"TrackMAP: AP {e['AP']:.1f} AP50 {e['AP50']:.1f} "
+                  f"AP75 {e['AP75']:.1f} AR {e['AR']:.1f} | {fps:.1f} FPS")
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        res_path = os.path.join(output_dir, "results.json")
+        with open(res_path, "w") as f:
+            json.dump(all_results, f)
+        with zipfile.ZipFile(os.path.join(output_dir, "results.zip"), "w",
+                             zipfile.ZIP_DEFLATED) as z:
+            z.write(res_path, "results.json")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# COCO evaluation loop
+# ---------------------------------------------------------------------------
+
+def evaluate_coco(model, variables, dataset, cfg,
+                  verbose: bool = True) -> Dict[str, Dict[str, float]]:
+    """Eval loop over a COCO-style dataset (reference engine.py:98-203).
+
+    dataset yields {"image", "image_id", "orig_size", ...}; images are padded
+    to static canvas buckets (one compile each)."""
+    from .datasets import make_buckets
+    buckets = make_eval_buckets(cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST)
+    mask_on = bool(cfg.MODEL.MASK_ON)
+    num_out = cfg.TEST.NUM_OUT
+    focal = cfg.MODEL.LOSS.FOCAL_LOSS
+
+    fwd = jax.jit(lambda v, i, m: model.apply(v, i, m, train=False))
+    evaluator = CocoEvaluator(dataset.gt_dict(),
+                              iou_types=("bbox", "segm") if mask_on
+                              else ("bbox",))
+    st = 4   # mask-logit stride
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        img = sample["image"]
+        h, w = img.shape[:2]
+        Hc, Wc = pick_canvas(h, w, buckets)
+        images = np.zeros((1, Hc, Wc, 3), np.float32)
+        pad_mask = np.ones((1, Hc, Wc), bool)
+        images[0, :h, :w] = img
+        pad_mask[0, :h, :w] = False
+        out = jax.device_get(fwd(variables, jnp.asarray(images),
+                                 jnp.asarray(pad_mask)))
+        tk = out["top_k"]
+        oh, ow = sample["orig_size"]
+        # image-normalized cxcywh → absolute xyxy in the original image
+        b = tk["boxes"][0]
+        cx, cy, bw, bh = b[:, 0] * ow, b[:, 1] * oh, b[:, 2] * ow, b[:, 3] * oh
+        boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1)
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, ow)
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, oh)
+        res = {"scores": tk["scores"][0],
+               "labels": tk["labels"][0] + 1,           # back to COCO ids
+               "boxes": boxes}
+        if mask_on and "masks" in tk:
+            import cv2
+            hv, wv = max(1, round(h / st)), max(1, round(w / st))
+            masks = []
+            for m in tk["masks"][0]:
+                mm = cv2.resize(m[:hv, :wv].astype(np.float32), (ow, oh),
+                                interpolation=cv2.INTER_LINEAR)
+                masks.append(mm > 0)                     # logit > 0 ⇔ p > 0.5
+            res["masks"] = masks
+        evaluator.update({int(sample["image_id"]): res})
+        if verbose and (idx + 1) % 50 == 0:
+            print(f"eval {idx + 1}/{len(dataset)}", flush=True)
+    return evaluator.summarize()
