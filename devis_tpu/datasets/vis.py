@@ -252,6 +252,24 @@ VIS_PATHS = {
 }
 
 
+class ConcatDataset:
+    """Minimal torch-style ConcatDataset (reference datasets/__init__.py:43)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._lens = [len(d) for d in self.datasets]
+
+    def __len__(self):
+        return sum(self._lens)
+
+    def __getitem__(self, idx: int):
+        for d, n in zip(self.datasets, self._lens):
+            if idx < n:
+                return d[idx]
+            idx -= n
+        raise IndexError(idx)
+
+
 def build_vis(image_set: str, cfg):
     split = (cfg.DATASETS.TRAIN_DATASET if image_set == "TRAIN"
              else cfg.DATASETS.VAL_DATASET)
@@ -274,6 +292,20 @@ def build_vis(image_set: str, cfg):
             scale_factor=cfg.INPUT.SCALE_FACTOR_TRAIN,
             create_bbx_from_mask=cfg.INPUT.DEVIS.CREATE_BBX_FROM_MASK,
             seed=cfg.SEED)
+        if cfg.DATASETS.DEVIS.COCO_JOINT_TRAINING:
+            from .coco import COCO_PATHS
+            from .coco_joint_vis import (COCO_TO_YT19_CATEGORY_MAP,
+                                         COCO_TO_YT21_CATEGORY_MAP,
+                                         CocoJointVIS)
+            cmap = (COCO_TO_YT19_CATEGORY_MAP if "19" in split
+                    else COCO_TO_YT21_CATEGORY_MAP)
+            cdir, cann, _ = COCO_PATHS["train"]
+            joint = CocoJointVIS(os.path.join(root, cdir),
+                                 os.path.join(root, cann),
+                                 num_frames=cfg.MODEL.DEVIS.NUM_FRAMES,
+                                 category_map=cmap, seed=cfg.SEED,
+                                 scale_factor=cfg.INPUT.SCALE_FACTOR_TRAIN)
+            ds = ConcatDataset([ds, joint])
     else:
         ds = VISValDataset(
             os.path.join(root, ann), os.path.join(root, img_dir),

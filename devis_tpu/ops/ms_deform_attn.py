@@ -64,7 +64,9 @@ def ms_deform_attn(value: jnp.ndarray,
     """Multi-scale deformable attention. See module docstring for semantics."""
     spatial_shapes = normalize_shapes(spatial_shapes)
     if impl == "auto":
-        impl = "xla"
+        # Pallas one-hot-matmul kernel on TPU (XLA's serial row-gather is the
+        # model bottleneck there); plain XLA gathers elsewhere (CPU tests).
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from .ms_deform_attn_pallas import ms_deform_attn_pallas
         return ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,

@@ -53,6 +53,23 @@ def test_deform_conv_vs_oracle(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_deform_conv_pallas_matches_xla(rng):
+    """The Pallas path (K×K MSDA gathers + channel mixes) must match the
+    jnp-gather path exactly."""
+    from devis_tpu.ops.deform_conv import deform_conv2d as dc
+    B, H, W, Cin, Cout, K = 2, 9, 11, 8, 6, 3
+    x = rng.randn(B, H, W, Cin).astype(np.float32)
+    offset = (rng.randn(B, H, W, 2 * K * K) * 1.5).astype(np.float32)
+    mask = rng.rand(B, H, W, K * K).astype(np.float32)
+    weight = (rng.randn(K, K, Cin, Cout) * 0.2).astype(np.float32)
+    bias = rng.randn(Cout).astype(np.float32)
+    args = (jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias))
+    got = np.asarray(dc(*args, impl="pallas"))
+    want = np.asarray(dc(*args, impl="xla"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_deform_conv_zero_offset_equals_conv(rng):
     """With zero offsets and unit modulation it must equal a plain 3x3 conv."""
     B, H, W, Cin, Cout, K = 1, 8, 8, 4, 3, 3

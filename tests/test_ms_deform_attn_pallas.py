@@ -1,0 +1,140 @@
+"""Pallas MSDeformAttn kernel parity tests (interpret mode on CPU).
+
+Mirrors the reference's kernel test strategy (`src/models/ops/test.py:29-84`):
+forward parity against the dense oracle and the XLA backend, gradient parity
+against XLA autodiff, plus range/padding edge cases specific to the
+one-hot-tile design.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from devis_tpu.ops.ms_deform_attn import (_ms_deform_attn_xla,
+                                          ms_deform_attn,
+                                          ms_deform_attn_dense_reference)
+from devis_tpu.ops.ms_deform_attn_pallas import (_tile_ranges, _taps,
+                                                 ms_deform_attn_pallas)
+
+SHAPES = ((12, 16), (6, 8), (3, 4))
+S = sum(h * w for h, w in SHAPES)
+
+
+def _inputs(rng, B=2, Q=50, M=4, D=32, P=3, loc_scale=1.2, loc_shift=-0.1):
+    L = len(SHAPES)
+    value = jnp.asarray(rng.rand(B, S, M, D), jnp.float32)
+    loc = jnp.asarray(rng.rand(B, Q, M, L, P, 2) * loc_scale + loc_shift,
+                      jnp.float32)
+    att = jax.nn.softmax(
+        jnp.asarray(rng.rand(B, Q, M, L * P), jnp.float32)).reshape(
+        B, Q, M, L, P)
+    return value, loc, att
+
+
+class TestForward:
+    def test_vs_dense_oracle(self, rng):
+        value, loc, att = _inputs(rng)
+        out = ms_deform_attn_pallas(value, SHAPES, loc, att)
+        ref = ms_deform_attn_dense_reference(value, SHAPES, loc, att)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+    def test_vs_xla_backend(self, rng):
+        value, loc, att = _inputs(rng, B=1, Q=300)
+        out_p = ms_deform_attn_pallas(value, SHAPES, loc, att)
+        out_x = _ms_deform_attn_xla(value, SHAPES, loc, att)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_impl_dispatch(self, rng):
+        value, loc, att = _inputs(rng, B=1, Q=10)
+        out = ms_deform_attn(value, SHAPES, loc, att, impl="pallas")
+        ref = ms_deform_attn(value, SHAPES, loc, att, impl="xla")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_all_out_of_bounds(self, rng):
+        """Fully OOB sampling → zero output (zero-padding semantics)."""
+        value, loc, att = _inputs(rng, B=1, Q=8)
+        loc = loc + 10.0
+        out = ms_deform_attn_pallas(value, SHAPES, loc, att)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-7)
+
+    def test_q_not_multiple_of_tile(self, rng):
+        """Q smaller than / not divisible by the q-tile must pad correctly."""
+        value, loc, att = _inputs(rng, B=1, Q=7)
+        out = ms_deform_attn_pallas(value, SHAPES, loc, att)
+        ref = ms_deform_attn_dense_reference(value, SHAPES, loc, att)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+    def test_bf16_value(self, rng):
+        value, loc, att = _inputs(rng, B=1, Q=40)
+        out = ms_deform_attn_pallas(value.astype(jnp.bfloat16), SHAPES, loc, att)
+        ref = ms_deform_attn_dense_reference(value, SHAPES, loc, att)
+        np.testing.assert_allclose(np.asarray(out).astype(np.float32), ref,
+                                   rtol=2e-2, atol=2e-2)
+
+
+class TestGradients:
+    def test_grads_vs_xla(self, rng):
+        value, loc, att = _inputs(rng)
+
+        def loss_p(v, l, a):
+            return (ms_deform_attn_pallas(v, SHAPES, l, a) * 0.01).sum()
+
+        def loss_x(v, l, a):
+            return (_ms_deform_attn_xla(v, SHAPES, l, a) * 0.01).sum()
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(value, loc, att)
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))(value, loc, att)
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_grad_value_deterministic(self, rng):
+        """grad_value is a Wᵀ@g matmul, not an atomicAdd scatter (unlike the
+        reference CUDA backward) — repeated runs must be bitwise equal."""
+        value, loc, att = _inputs(rng, B=1, Q=64, M=2, D=32)
+
+        def loss(v):
+            return (ms_deform_attn_pallas(v, SHAPES, loc, att) ** 2).sum()
+
+        g1 = np.asarray(jax.grad(loss)(value))
+        g2 = np.asarray(jax.grad(loss)(value))
+        np.testing.assert_array_equal(g1, g2)
+
+
+class TestRanges:
+    def test_ranges_cover_all_taps(self, rng):
+        value, loc, att = _inputs(rng, B=1, Q=30)
+        idx, wt = _taps(SHAPES, loc, att)
+        q_tile, s_tile = 256, 512
+        q_pad = 256
+        r = np.asarray(_tile_ranges(idx, wt, SHAPES, q_tile, s_tile, q_pad))
+        idxn, wtn = np.asarray(idx), np.asarray(wt)
+        BM = idxn.shape[0] * idxn.shape[1]
+        idxn = idxn.reshape(BM, -1, idxn.shape[3], idxn.shape[4])
+        wtn = wtn.reshape(BM, -1, wtn.shape[3], wtn.shape[4])
+        for bm in range(BM):
+            for lvl in range(len(SHAPES)):
+                start, cnt = r[bm, 0, lvl]
+                live = wtn[bm, :, lvl] != 0
+                if not live.any():
+                    continue
+                ii = idxn[bm, :, lvl][live]
+                assert ii.min() >= start * s_tile
+                assert ii.max() < (start + cnt) * s_tile
+
+    def test_local_sampling_produces_small_ranges(self, rng):
+        """Local offsets → per-level ranges much smaller than the level."""
+        big = ((64, 64),)
+        B, Q, M, P = 1, 4096, 1, 4
+        yy, xx = np.meshgrid((np.arange(64) + .5) / 64, (np.arange(64) + .5) / 64,
+                             indexing="ij")
+        ref = np.stack([xx.ravel(), yy.ravel()], -1)          # (Q, 2)
+        off = (rng.rand(Q, M, 1, P, 2) - .5) * 0.05
+        loc = jnp.asarray((ref[:, None, None, None] + off)[None], jnp.float32)
+        att = jnp.ones((B, Q, M, 1, P), jnp.float32) / P
+        idx, wt = _taps(big, loc, att)
+        r = np.asarray(_tile_ranges(idx, wt, big, 256, 512, 4096))
+        assert r[..., 1].max() <= 3        # ≤3 of 8 s-tiles per q-tile
