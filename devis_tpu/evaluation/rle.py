@@ -79,12 +79,33 @@ def _pair_intersection(iv_a: np.ndarray, iv_b: np.ndarray) -> int:
     return int(total)
 
 
+def intersection(a: Dict, b: Dict) -> int:
+    """Foreground-overlap area of two RLE masks (no decode)."""
+    from . import _native
+    ca, cb = _ensure_counts(a), _ensure_counts(b)
+    L = _native.lib()
+    if L is not None:
+        ca = np.ascontiguousarray(ca, np.int64)
+        cb = np.ascontiguousarray(cb, np.int64)
+        return int(L.rle_intersection(_native._ptr_long(ca), len(ca),
+                                      _native._ptr_long(cb), len(cb)))
+    return _pair_intersection(_intervals(a), _intervals(b))
+
+
 def iou(dt: Sequence[Dict], gt: Sequence[Dict],
         iscrowd: Sequence[bool] | None = None) -> np.ndarray:
     """Pairwise mask IoU, pycocotools semantics: for crowd gt the denominator
     is the detection area. Returns (len(dt), len(gt)) float64."""
     if iscrowd is None:
         iscrowd = [False] * len(gt)
+    if len(dt) and len(gt):
+        from . import _native
+        native = _native.iou_matrix(
+            [np.asarray(_ensure_counts(d), np.int64) for d in dt],
+            [np.asarray(_ensure_counts(g), np.int64) for g in gt],
+            [bool(c) for c in iscrowd])
+        if native is not None:
+            return native
     dt_iv = [_intervals(d) for d in dt]
     gt_iv = [_intervals(g) for g in gt]
     dt_area = [area(d) for d in dt]

@@ -41,13 +41,17 @@ def _track_area(track: Dict[int, Dict]) -> float:
 
 
 def mask_track_iou(dt_track: Dict[int, Dict], gt_track: Dict[int, Dict]) -> float:
-    """Volumetric track IoU (trackeval track_map.py:401-431)."""
+    """Volumetric track IoU (trackeval track_map.py:401-431).
+
+    Decode-free: per-frame intersection runs on the RLE counts directly
+    (native C when available), union = area(d) + area(g) − inter."""
     inter = union = 0.0
     for t in set(dt_track) | set(gt_track):
         d, g = dt_track.get(t), gt_track.get(t)
         if d and g:
-            inter += rle_lib.area(rle_lib.merge([d, g], intersect=True))
-            union += rle_lib.area(rle_lib.merge([d, g], intersect=False))
+            i = rle_lib.intersection(d, g)
+            inter += i
+            union += rle_lib.area(d) + rle_lib.area(g) - i
         elif g:
             union += rle_lib.area(g)
         elif d:

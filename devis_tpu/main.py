@@ -176,6 +176,11 @@ def main(argv=None):
     step_fn = make_train_step(model, cfg, num_classes=num_classes)
     rng = jax.random.PRNGKey(cfg.SEED)
 
+    from .util.logging_utils import (build_metrics, build_visdom,
+                                     device_memory_stats)
+    metrics = build_metrics(cfg)
+    visdom = build_visdom(cfg)
+
     for epoch in range(start_epoch, cfg.SOLVER.EPOCHS):
         loader.set_epoch(epoch)
         t0 = time.time()
@@ -183,6 +188,13 @@ def main(argv=None):
             step_fn, state, loader, rng, epoch, mesh=mesh)
         print(f"epoch {epoch}: {time.time() - t0:.1f}s "
               f"loss {train_stats.get('loss', float('nan')):.4f}")
+        metrics.write(epoch, {**train_stats, **device_memory_stats()},
+                      kind="train_epoch")
+        if visdom:
+            visdom.plot("train", epoch,
+                        {k: v for k, v in train_stats.items()
+                         if k in ("loss", "loss_ce", "loss_bbox", "loss_giou",
+                                  "loss_mask", "loss_dice", "class_error")})
 
         # periodic eval (reference main.py:349-361)
         if (epoch + 1) >= cfg.TEST.START_EVAL_EPOCH and \

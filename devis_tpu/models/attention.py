@@ -291,6 +291,14 @@ class TemporalMSDeformAttnDecoder(TemporalMSDeformAttnBase):
                                            self.n_temporal_points)
         out_t = ms_deform_attn(t_value, t_shapes, loc_t, att_t, impl=self.impl)
 
+        # Attention-map capture for the visualizer (reference returns these
+        # for TrackerAttMaps, ms_deform_attn.py:319,414). `sow` is free unless
+        # apply() requests the "intermediates" collection.
+        self.sow("intermediates", "viz_sampling_locations", loc_c)
+        self.sow("intermediates", "viz_attention_weights", att_c)
+        self.sow("intermediates", "viz_temporal_sampling_locations", loc_t)
+        self.sow("intermediates", "viz_temporal_attention_weights", att_t)
+
         out = self._output(out_c + out_t)                 # (T, Lq, C)
         return out.reshape(1, T * Lq, C)
 

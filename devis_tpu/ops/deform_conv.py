@@ -10,11 +10,10 @@ base_grid + kernel_offset + learned_offset, zero padding outside).
 Offset channel layout matches torch: (2*K*K) ordered (y, x) per kernel
 position, row-major kernel positions.
 
-Memory layout note: the K*K kernel positions are accumulated in a Python loop
-(unrolled, statically scheduled by XLA) rather than materialized as an
-im2col tensor — a (B, H, W, K*K, Cin) buffer at mask-head shapes is ~6 GB and
-blew HBM; per-tap accumulation peaks at (B, H, W, Cin) and lets XLA fuse each
-tap's modulation multiply into its matmul.
+Two backends: the Pallas MSDA kernel with grouped heads (TPU), and a plain
+jnp-gather path (CPU tests / fallback) whose K*K positions are accumulated in
+an unrolled loop — an im2col (B, H, W, K*K, Cin) buffer at mask-head shapes
+is ~6 GB and blew HBM; per-tap accumulation peaks at (B, H, W, Cin).
 """
 from __future__ import annotations
 
@@ -33,31 +32,72 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     return fn(x, offset, mask, weight, bias, padding)
 
 
-def _deform_conv2d_pallas(x, offset, mask, weight, bias, padding=1):
-    """Deformable conv as K×K deformable-attention gathers + channel mixes.
+def _deform_conv2d_pallas(x, offset, mask, weight, bias, padding=1,
+                          chunk_elems: int = 256 * 1024 * 1024):
+    """Deformable conv as ONE deformable-attention call per batch chunk.
 
-    Each kernel position k is one MSDA call (single level, P=1, heads=1):
-    sampling location = base grid + kernel offset + learned offset, attention
-    weight = modulation mask; channel mixing with weight[k] happens after the
-    gather, so one Pallas kernel serves both ops."""
+    The K² kernel positions ride the MSDA head axis as *grouped heads* that
+    share a single value head (the kernel maps the group's grid rows onto one
+    value block — no HBM replication of x): head k's sampling location =
+    base grid + kernel offset_k + learned offset_k, attention weight = the
+    modulation mask. Channel mixing with weight[k] happens AFTER the gather
+    on the per-head outputs, so the gathered dim stays D = Cin
+    (lane-friendly) for ANY Cout — including the mask head's 1-channel
+    out_lay, where a pre-mixed Cout=1 value hits XLA's 128× tile padding on
+    the size-1 minor dim (11 GB temps).
+
+    The mask head runs this with batch = trajectories × frames (hundreds);
+    the batch is processed in `lax.map` chunks to bound peak HBM."""
     from .ms_deform_attn_pallas import ms_deform_attn_pallas
     B, H, W, Cin = x.shape
     K = weight.shape[0]
+    KK = K * K
     Cout = weight.shape[-1]
-    off = offset.reshape(B, H, W, K * K, 2)
-    base_y = jnp.arange(H, dtype=jnp.float32)[None, :, None]
-    base_x = jnp.arange(W, dtype=jnp.float32)[None, None, :]
-    value = x.reshape(B, H * W, 1, Cin)
-    out = jnp.zeros((B, H * W, Cout), jnp.float32)
-    for k in range(K * K):
-        ky, kx = k // K, k % K
-        # MSDA convention: pixel = loc·size − 0.5  ⇒  loc = (pixel + 0.5)/size
-        sy = (base_y + (ky - padding) + off[..., k, 0] + 0.5) / H
-        sx = (base_x + (kx - padding) + off[..., k, 1] + 0.5) / W
-        loc = jnp.stack([sx, sy], axis=-1).reshape(B, H * W, 1, 1, 1, 2)
-        att = mask[..., k].reshape(B, H * W, 1, 1, 1)
-        g = ms_deform_attn_pallas(value, ((H, W),), loc, att)  # (B, HW, Cin)
-        out = out + g.astype(jnp.float32) @ weight[ky, kx].astype(jnp.float32)
+    off = offset.reshape(B, H, W, KK, 2)
+    base_y = jnp.arange(H, dtype=jnp.float32)[None, :, None, None]
+    base_x = jnp.arange(W, dtype=jnp.float32)[None, None, :, None]
+    ky = (jnp.arange(KK, dtype=jnp.float32) // K)[None, None, None]
+    kx = (jnp.arange(KK, dtype=jnp.float32) % K)[None, None, None]
+    # MSDA convention: pixel = loc·size − 0.5  ⇒  loc = (pixel + 0.5)/size
+    sy = (base_y + (ky - padding) + off[..., 0] + 0.5) / H   # (B, H, W, KK)
+    sx = (base_x + (kx - padding) + off[..., 1] + 0.5) / W
+    # kernel positions ride the HEAD axis as K² GROUPED heads sharing one
+    # value head (the kernel maps G consecutive grid rows to one value block,
+    # so x is never replicated in HBM). Channel mixing with weight[k] happens
+    # AFTER the gather on per-head outputs — the gathered dim stays D = Cin
+    # (lane-friendly) for ANY Cout, including the 1-channel out_lay (a
+    # pre-mixed Cout=1 value hits XLA's 128× tile padding on the size-1
+    # minor dim → 11 GB temps).
+    loc = jnp.stack([sx, sy], axis=-1).reshape(B, H * W, KK, 1, 1, 2)
+    att = mask.reshape(B, H * W, KK, 1, 1)
+    w_kk = weight.reshape(KK, Cin, Cout)
+
+    def run(args):
+        xc, locc, attc = args
+        c = xc.shape[0]
+        value = xc.reshape(c, H * W, 1, Cin)          # 1 value head, G = K²
+        out_h = ms_deform_attn_pallas(value, ((H, W),), locc, attc)
+        return out_h                                  # (c, HW, KK·Cin)
+
+    per_item = KK * H * W * Cin
+    chunk = max(1, min(B, chunk_elems // per_item))
+    if B % chunk:
+        pad = chunk - B % chunk
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * 3)
+        loc = jnp.pad(loc, ((0, pad),) + ((0, 0),) * 5)
+        att = jnp.pad(att, ((0, pad),) + ((0, 0),) * 4)
+    n_chunks = x.shape[0] // chunk
+    if n_chunks == 1:
+        g = run((x, loc, att))
+    else:
+        g = jax.lax.map(run, (x.reshape(n_chunks, chunk, H, W, Cin),
+                              loc.reshape(n_chunks, chunk, H * W, KK, 1, 1, 2),
+                              att.reshape(n_chunks, chunk, H * W, KK, 1, 1)))
+        g = g.reshape(n_chunks * chunk, H * W, KK * Cin)
+    g = g[:B].reshape(B, H * W, KK, Cin)
+    out = jnp.einsum("bqkc,kcd->bqd", g.astype(jnp.float32),
+                     w_kk.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
     return (out.reshape(B, H, W, Cout) + bias).astype(x.dtype)
 
 

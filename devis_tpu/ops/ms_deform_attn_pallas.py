@@ -154,10 +154,11 @@ def _build_wt_tile(w_ref, idx_ref, wt_ref, cols_t, lvl: int, K: int):
     Statically-unrolled tap loop with static sublane reads; the scratch ref
     (instead of an SSA chain) bounds live temporaries to one tile."""
     w_ref[:] = jnp.zeros_like(w_ref)
+    zero = jnp.zeros((), w_ref.dtype)
     for k in range(K):
         idx_k = idx_ref[0, lvl * K + k, :][None, :]            # (1, Qt)
-        wt_k = wt_ref[0, lvl * K + k, :][None, :].astype(jnp.float32)
-        w_ref[:] += jnp.where(idx_k == cols_t, wt_k, 0.0)
+        wt_k = wt_ref[0, lvl * K + k, :][None, :].astype(w_ref.dtype)
+        w_ref[:] += jnp.where(idx_k == cols_t, wt_k, zero)
 
 
 def _fwd_kernel(ranges_ref, value_ref, idx_ref, wt_ref, out_ref, w_ref, *,
@@ -166,7 +167,9 @@ def _fwd_kernel(ranges_ref, value_ref, idx_ref, wt_ref, out_ref, w_ref, *,
     Qt = out_ref.shape[1]
     D = out_ref.shape[2]
     L = len(level_starts)
-    rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0)
+    idt = idx_ref.dtype
+    # hardware has no 16-bit iota; build in i32 and convert
+    rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0).astype(idt)
     acc = jnp.zeros((Qt, D), jnp.float32)
 
     for lvl in range(L):
@@ -176,7 +179,8 @@ def _fwd_kernel(ranges_ref, value_ref, idx_ref, wt_ref, out_ref, w_ref, *,
         def body(t, acc, lvl=lvl):
             s0 = pl.multiple_of((start_t + t) * s_tile, s_tile)
             vt = value_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
-            _build_wt_tile(w_ref, idx_ref, wt_ref, rows0 + s0, lvl, K)
+            _build_wt_tile(w_ref, idx_ref, wt_ref,
+                           rows0 + s0.astype(idt), lvl, K)
             # out[q] += Σ_s Wᵀ[s, q] · v[s]  — contract the s axis
             return acc + jax.lax.dot_general(
                 w_ref[:].astype(acc_dtype), vt.astype(acc_dtype),
@@ -189,17 +193,19 @@ def _fwd_kernel(ranges_ref, value_ref, idx_ref, wt_ref, out_ref, w_ref, *,
 
 def _bwd_kernel(ranges_ref, value_ref, idx_ref, wt_ref, g_ref,
                 gval_ref, gwt_ref, w_ref, *, level_starts, s_tile: int,
-                K: int, acc_dtype):
+                K: int, acc_dtype, groups: int = 1):
     """Gradients for one (b·m, q-tile): grad_value (accumulated across
     q-tiles — the gval block is revisited, zeroed at the first tile) and
     grad_wt."""
     Qt = g_ref.shape[1]
     L = len(level_starts)
     qt_i = pl.program_id(1)
-    rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0)
+    idt = idx_ref.dtype
+    rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0).astype(idt)
     g = g_ref[0].astype(jnp.float32)                  # (Qt, D)
 
-    @pl.when(qt_i == 0)
+    bm_i = pl.program_id(0)
+    @pl.when((qt_i == 0) & (bm_i % groups == 0))
     def _():
         gval_ref[0] = jnp.zeros_like(gval_ref[0])
 
@@ -213,7 +219,7 @@ def _bwd_kernel(ranges_ref, value_ref, idx_ref, wt_ref, g_ref,
             s0 = pl.multiple_of((start_t + t) * s_tile, s_tile)
             base = level_starts[lvl] + s0
             vt = value_ref[0, pl.ds(base, s_tile), :]
-            cols_t = rows0 + s0
+            cols_t = rows0 + s0.astype(idt)
             _build_wt_tile(w_ref, idx_ref, wt_ref, cols_t, lvl, K)
             # grad_value tile += Wᵀ @ g   (deterministic scatter-free)
             gval_ref[0, pl.ds(base, s_tile), :] += jax.lax.dot(
@@ -241,37 +247,43 @@ def _bwd_kernel(ranges_ref, value_ref, idx_ref, wt_ref, g_ref,
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
 
-def _common_specs(q_tile, L, K, S_pad, D):
+def _common_specs(q_tile, L, K, S_pad, D, groups: int = 1):
     ranges_spec = pl.BlockSpec((1, 1, L, 2), lambda bm, qt: (bm, qt, 0, 0),
                                memory_space=pltpu.SMEM)
-    value_spec = pl.BlockSpec((1, S_pad, D), lambda bm, qt: (bm, 0, 0),
+    # `groups` consecutive grid rows share one value block (grouped heads —
+    # e.g. deformable conv puts the K x K kernel positions on the head axis
+    # without replicating the feature map in HBM).
+    value_spec = pl.BlockSpec((1, S_pad, D),
+                              lambda bm, qt: (bm // groups, 0, 0),
                               memory_space=pltpu.VMEM)
     idx_spec = pl.BlockSpec((1, L * K, q_tile), lambda bm, qt: (bm, 0, qt),
                             memory_space=pltpu.VMEM)
     return ranges_spec, value_spec, idx_spec, idx_spec
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
 def _fwd_call(spatial_shapes: Shapes, value_bm, idx, wt, ranges,
-              q_tile: int, s_tile: int):
-    """value_bm: (B·M, S_pad, D); idx/wt: (B·M, L·K, q_pad)."""
+              q_tile: int, s_tile: int, groups: int = 1):
+    """value_bm: (B·M, S_pad, D); idx/wt: (B·M·G, L·K, q_pad)."""
     BM, S_pad, D = value_bm.shape
+    BMG = idx.shape[0]
     LK, q_pad = idx.shape[1], idx.shape[2]
     L = ranges.shape[2]
     K = LK // L
     level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
     acc_dtype = value_bm.dtype if value_bm.dtype == jnp.bfloat16 \
         else jnp.float32
-    r_spec, v_spec, i_spec, w_spec = _common_specs(q_tile, L, K, S_pad, D)
+    r_spec, v_spec, i_spec, w_spec = _common_specs(q_tile, L, K, S_pad, D,
+                                                   groups)
     kernel = functools.partial(_fwd_kernel, level_starts=level_starts,
                                s_tile=s_tile, K=K, acc_dtype=acc_dtype)
     return pl.pallas_call(
         kernel,
-        grid=(BM, q_pad // q_tile),
+        grid=(BMG, q_pad // q_tile),
         in_specs=[r_spec, v_spec, i_spec, w_spec],
         out_specs=pl.BlockSpec((1, q_tile, D), lambda bm, qt: (bm, qt, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BM, q_pad, D), value_bm.dtype),
+        out_shape=jax.ShapeDtypeStruct((BMG, q_pad, D), value_bm.dtype),
         scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -279,34 +291,37 @@ def _fwd_call(spatial_shapes: Shapes, value_bm, idx, wt, ranges,
     )(ranges, value_bm, idx, wt)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
 def _bwd_call(spatial_shapes: Shapes, value_bm, idx, wt, ranges, g_bm,
-              q_tile: int, s_tile: int):
+              q_tile: int, s_tile: int, groups: int = 1):
     BM, S_pad, D = value_bm.shape
+    BMG = idx.shape[0]
     LK, q_pad = idx.shape[1], idx.shape[2]
     L = ranges.shape[2]
     K = LK // L
     level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
     acc_dtype = value_bm.dtype if value_bm.dtype == jnp.bfloat16 \
         else jnp.float32
-    r_spec, v_spec, i_spec, w_spec = _common_specs(q_tile, L, K, S_pad, D)
+    r_spec, v_spec, i_spec, w_spec = _common_specs(q_tile, L, K, S_pad, D,
+                                                   groups)
     g_spec = pl.BlockSpec((1, q_tile, D), lambda bm, qt: (bm, qt, 0),
                           memory_space=pltpu.VMEM)
     kernel = functools.partial(_bwd_kernel, level_starts=level_starts,
-                               s_tile=s_tile, K=K, acc_dtype=acc_dtype)
+                               s_tile=s_tile, K=K, acc_dtype=acc_dtype,
+                               groups=groups)
     gval, gwt = pl.pallas_call(
         kernel,
-        grid=(BM, q_pad // q_tile),
+        grid=(BMG, q_pad // q_tile),
         in_specs=[r_spec, v_spec, i_spec, w_spec, g_spec],
         out_specs=(
-            pl.BlockSpec((1, S_pad, D), lambda bm, qt: (bm, 0, 0),
+            pl.BlockSpec((1, S_pad, D), lambda bm, qt: (bm // groups, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L * K, q_tile), lambda bm, qt: (bm, 0, qt),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BM, S_pad, D), jnp.float32),
-            jax.ShapeDtypeStruct((BM, LK, q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((BMG, LK, q_pad), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -348,65 +363,79 @@ def _unpack_levels(packed, spatial_shapes: Shapes, s_tile: int):
 
 
 def _prep(value, spatial_shapes, loc, att, q_tile, s_tile):
+    """Kernel-layout inputs. Heads in loc/att may be a multiple G of the
+    value heads (grouped heads sharing a value block — deformable conv)."""
     B, S, M, D = value.shape
     Q = loc.shape[1]
-    idx, wt = _taps(spatial_shapes, loc, att)          # (B, M, Q, L, K)
+    MG = loc.shape[2]
+    idx, wt = _taps(spatial_shapes, loc, att)          # (B, MG, Q, L, K)
     q_pad = _round_up(Q, q_tile)
     ranges = _tile_ranges(idx, wt, spatial_shapes, q_tile, s_tile, q_pad)
     B_, M_, _, L, K = idx.shape
-    # tap axis → sublanes, queries → lanes: (B·M, L·K, q_pad)
-    idx = jnp.transpose(idx, (0, 1, 3, 4, 2)).reshape(B * M, L * K, Q)
-    wt = jnp.transpose(wt, (0, 1, 3, 4, 2)).reshape(B * M, L * K, Q)
+    # tap axis → sublanes, queries → lanes: (B·M·G, L·K, q_pad)
+    idx = jnp.transpose(idx, (0, 1, 3, 4, 2)).reshape(B * MG, L * K, Q)
+    wt = jnp.transpose(wt, (0, 1, 3, 4, 2)).reshape(B * MG, L * K, Q)
     if q_pad != Q:
         idx = jnp.pad(idx, ((0, 0), (0, 0), (0, q_pad - Q)),
                       constant_values=-1)
         wt = jnp.pad(wt, ((0, 0), (0, 0), (0, q_pad - Q)))
+    # NOTE: a bf16 weight-tile build (int16 indices + bf16 selects, 2× VPU
+    # rate) was prototyped but v5e's VPU supports neither 16-bit iota nor
+    # 16-bit vector compares — the W build stays int32/float32.
     value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
     value_bm = _pack_levels(value_bm, spatial_shapes, s_tile)
     return value_bm, idx, wt, ranges, L, K, q_pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
 def ms_deform_attn_pallas(value, spatial_shapes: Shapes, sampling_locations,
-                          attention_weights):
-    """Pallas forward; same contract as `ms_deform_attn` (xla backend)."""
+                          attention_weights, q_tile: int = 0):
+    """Pallas forward; same contract as `ms_deform_attn` (xla backend).
+    q_tile=0 → the default Q_TILE; callers with very large query counts per
+    batch item (deformable conv) pass a bigger tile to cut grid steps."""
     out, _ = _fwd_res(value, spatial_shapes, sampling_locations,
-                      attention_weights)
+                      attention_weights, q_tile or Q_TILE)
     return out
 
 
-def _fwd_res(value, spatial_shapes, loc, att):
+def _fwd_res(value, spatial_shapes, loc, att, q_tile=None):
+    q_tile = q_tile or Q_TILE
     B, S, M, D = value.shape
     Q = loc.shape[1]
+    MG = loc.shape[2]
+    groups = MG // M
     value_bm, idx, wt, ranges, L, K, q_pad = _prep(
-        value, spatial_shapes, loc, att, Q_TILE, S_TILE)
+        value, spatial_shapes, loc, att, q_tile, S_TILE)
     out_bm = _fwd_call(spatial_shapes, value_bm, idx, wt, ranges,
-                       Q_TILE, S_TILE)
-    out = out_bm.reshape(B, M, q_pad, D)[:, :, :Q]
-    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, M * D)
+                       q_tile, S_TILE, groups)
+    out = out_bm.reshape(B, MG, q_pad, D)[:, :, :Q]
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, MG * D)
     return out.astype(value.dtype), (value, loc, att)
 
 
-def _fwd_fwd(value, spatial_shapes, loc, att):
-    return _fwd_res(value, spatial_shapes, loc, att)
+def _fwd_fwd(value, spatial_shapes, loc, att, q_tile: int = 0):
+    return _fwd_res(value, spatial_shapes, loc, att, q_tile or Q_TILE)
 
 
-def _fwd_bwd(spatial_shapes, res, g):
+def _fwd_bwd(spatial_shapes, q_tile, res, g):
+    q_tile = q_tile or Q_TILE
     value, loc, att = res
     B, S, M, D = value.shape
     Q = loc.shape[1]
+    MG = loc.shape[2]
+    groups = MG // M
     value_bm, idx, wt, ranges, L, K, q_pad = _prep(
-        value, spatial_shapes, loc, att, Q_TILE, S_TILE)
-    g_bm = jnp.transpose(g.reshape(B, Q, M, D), (0, 2, 1, 3)) \
-        .reshape(B * M, Q, D)
+        value, spatial_shapes, loc, att, q_tile, S_TILE)
+    g_bm = jnp.transpose(g.reshape(B, Q, MG, D), (0, 2, 1, 3)) \
+        .reshape(B * MG, Q, D)
     g_bm = jnp.pad(g_bm, ((0, 0), (0, q_pad - Q), (0, 0))) \
         .astype(value_bm.dtype)
     gval_bm, gwt = _bwd_call(spatial_shapes, value_bm, idx, wt, ranges, g_bm,
-                             Q_TILE, S_TILE)
+                             q_tile, S_TILE, groups)
     gval = _unpack_levels(gval_bm, spatial_shapes, S_TILE)
     gval = gval.reshape(B, M, S, D).transpose(0, 2, 1, 3)
-    # back to (B, M, Q, L, K), then chain rule through the tap builder
-    gwt = gwt.reshape(B, M, L, K, q_pad)[..., :Q].transpose(0, 1, 4, 2, 3)
+    # back to (B, MG, Q, L, K), then chain rule through the tap builder
+    gwt = gwt.reshape(B, MG, L, K, q_pad)[..., :Q].transpose(0, 1, 4, 2, 3)
     _, vjp = jax.vjp(lambda l, a: _taps(spatial_shapes, l, a)[1], loc, att)
     gloc, gatt = vjp(gwt)
     return gval.astype(value.dtype), gloc.astype(loc.dtype), \

@@ -75,6 +75,45 @@ class TestForward:
                                    rtol=2e-2, atol=2e-2)
 
 
+class TestGroupedHeads:
+    def test_grouped_matches_replicated(self, rng):
+        """G query-heads sharing one value head must equal running the op
+        with the value explicitly replicated across heads."""
+        B, Q, G, D, P = 2, 40, 3, 32, 2
+        L = len(SHAPES)
+        value = jnp.asarray(rng.rand(B, S, 1, D), jnp.float32)
+        loc = jnp.asarray(rng.rand(B, Q, G, L, P, 2), jnp.float32)
+        att = jax.nn.softmax(
+            jnp.asarray(rng.rand(B, Q, G, L * P), jnp.float32)).reshape(
+            B, Q, G, L, P)
+        got = ms_deform_attn_pallas(value, SHAPES, loc, att)
+        rep = jnp.broadcast_to(value, (B, S, G, D))
+        want = ms_deform_attn_pallas(rep, SHAPES, loc, att)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_grouped_grads(self, rng):
+        B, Q, G, D, P = 1, 20, 2, 32, 2
+        L = len(SHAPES)
+        value = jnp.asarray(rng.rand(B, S, 1, D), jnp.float32)
+        loc = jnp.asarray(rng.rand(B, Q, G, L, P, 2), jnp.float32)
+        att = jax.nn.softmax(
+            jnp.asarray(rng.rand(B, Q, G, L * P), jnp.float32)).reshape(
+            B, Q, G, L, P)
+
+        def loss_grouped(v):
+            return (ms_deform_attn_pallas(v, SHAPES, loc, att) ** 2).sum()
+
+        def loss_replicated(v):
+            rep = jnp.broadcast_to(v, (B, S, G, D))
+            return (ms_deform_attn_pallas(rep, SHAPES, loc, att) ** 2).sum()
+
+        g1 = jax.grad(loss_grouped)(value)
+        g2 = jax.grad(loss_replicated)(value)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestGradients:
     def test_grads_vs_xla(self, rng):
         value, loc, att = _inputs(rng)
