@@ -119,19 +119,34 @@ def build_tracker(cfg, model, variables) -> Tracker:
 def inference_vis(tracker: Tracker, dataset, output_dir: Optional[str] = None,
                   verbose: bool = True) -> Dict:
     """Per-video tracking over the val set (reference engine.py:206-262).
-    Returns {'results': [...], 'fps': float [, 'eval': TrackMAP summary]}."""
+    Returns {'results': [...], 'fps': float [, 'eval': TrackMAP summary]}.
+
+    Multi-host: each process tracks an interleaved, padded shard of videos
+    (DistributedSampler semantics); results are all-gathered and de-duplicated
+    (reference misc.py:85-139)."""
+    n_proc = jax.process_count()
+    rank = jax.process_index()
+    n_videos = len(dataset)
+    per_proc = -(-n_videos // n_proc)
+    my_videos = [(rank + k * n_proc) % n_videos for k in range(per_proc)] \
+        if n_videos else []
+
     all_results: List[Dict] = []
     times: List[float] = []
-    for i in range(len(dataset)):
+    for j, i in enumerate(my_videos):
         video = dataset[i]
         t0 = time.time()
         all_results.extend(tracker(video, all_times=times))
         if verbose:
-            print(f"video {i + 1}/{len(dataset)} "
+            print(f"video {j + 1}/{len(my_videos)} "
                   f"({time.time() - t0:.2f}s)", flush=True)
 
+    if n_proc > 1:
+        from .parallel.multihost import accumulate_results, all_gather_objects
+        all_results = accumulate_results(all_gather_objects(all_results))
+
     total_frames = dataset.get_total_num_frames()
-    fps = total_frames / max(sum(times), 1e-9)
+    fps = total_frames / max(sum(times), 1e-9) * (1 if n_proc == 1 else n_proc)
     out = {"results": all_results, "fps": fps}
 
     if getattr(dataset, "has_gt", False):

@@ -129,17 +129,39 @@ def main(argv=None):
           f"| devices {jax.device_count()}")
 
     if args.eval_only:
-        if is_vis:
-            tracker = build_tracker(cfg, model, variables)
-            out = inference_vis(tracker, dataset_val,
-                                output_dir=os.path.join(output_dir,
-                                                        cfg.TEST.SAVE_PATH))
-            if "eval" in out:
-                print(json.dumps({k: v for k, v in out["eval"].items()
-                                  if isinstance(v, float)}))
+        def run_eval(vs, tag=""):
+            if is_vis:
+                tracker = build_tracker(cfg, model, vs)
+                out = inference_vis(tracker, dataset_val,
+                                    output_dir=os.path.join(
+                                        output_dir, cfg.TEST.SAVE_PATH + tag))
+                if "eval" in out:
+                    print(tag, json.dumps({k: v for k, v in out["eval"].items()
+                                           if isinstance(v, float)}))
+                return out.get("eval", {}).get("AP", 0.0)
+            stats = evaluate_coco(model, vs, dataset_val, cfg)
+            print(tag, json.dumps(stats))
+            return stats["bbox"]["AP"]
+
+        if cfg.TEST.INPUT_FOLDER:
+            # multi-checkpoint folder eval (reference main.py:163-193)
+            best, best_ep = -1.0, None
+            for ep in cfg.TEST.EPOCHS_TO_EVAL:
+                path = os.path.join(cfg.TEST.INPUT_FOLDER,
+                                    f"checkpoint_epoch_{ep}")
+                if not os.path.exists(path):
+                    print(f"skip missing {path}")
+                    continue
+                ckpt = ckpt_lib.restore_checkpoint(path, None)
+                vs = ({"params": ckpt["params"], **ckpt["frozen"]}
+                      if isinstance(ckpt, dict) and "params" in ckpt
+                      else ckpt)
+                ap = run_eval(vs, tag=f"_epoch{ep}")
+                if ap > best:
+                    best, best_ep = ap, ep
+            print(f"best epoch {best_ep}: AP {best:.2f}")
         else:
-            stats = evaluate_coco(model, variables, dataset_val, cfg)
-            print(json.dumps(stats))
+            run_eval(variables)
         return
 
     # ---- training -----------------------------------------------------

@@ -336,7 +336,7 @@ def _bwd_call(spatial_shapes: Shapes, value_bm, idx, wt, ranges, g_bm,
 # ---------------------------------------------------------------------------
 
 Q_TILE = 256
-S_TILE = 512
+S_TILE = 256
 
 
 def _pack_levels(value_bm, spatial_shapes: Shapes, s_tile: int):

@@ -87,9 +87,20 @@ class Tracker:
         cats_dict: Dict[int, List[int]] = {}
         num_clips = len(video)
 
+        # Pipeline device and host: clip i+1's forward is dispatched on a
+        # background thread while the host stitches clip i (the TPU runs
+        # asynchronously under the dispatch), hiding host RLE/matching time
+        # behind device time (SURVEY.md §7 hard part 4; the reference runs
+        # these serially, tracker.py:296-462).
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending = pool.submit(self.infer_fn, video, 0)
+
         for clip_idx in range(num_clips):
             t0 = time.time()
-            results = self.infer_fn(video, clip_idx)
+            results = pending.result()
+            if clip_idx + 1 < num_clips:
+                pending = pool.submit(self.infer_fn, video, clip_idx + 1)
             times.append(time.time() - t0)
 
             scores = results["scores"][:clip_length]
@@ -149,6 +160,7 @@ class Tracker:
                     tr.update_stride_and_encode_masks(stride, self.overlap_window)
             times.append(time.time() - t1)
 
+        pool.shutdown(wait=False)
         if all_times is not None:
             all_times.append(sum(times))
 
