@@ -117,9 +117,11 @@ def build_tracker(cfg, model, variables) -> Tracker:
 
 
 def inference_vis(tracker: Tracker, dataset, output_dir: Optional[str] = None,
-                  verbose: bool = True) -> Dict:
+                  verbose: bool = True, viz_path: Optional[str] = None) -> Dict:
     """Per-video tracking over the val set (reference engine.py:206-262).
     Returns {'results': [...], 'fps': float [, 'eval': TrackMAP summary]}.
+    `viz_path` renders merged-track overlays per video
+    (TEST.VIZ.OUT_VIZ_PATH, reference tracker.py:450-458).
 
     Multi-host: each process tracks an interleaved, padded shard of videos
     (DistributedSampler semantics); results are all-gathered and de-duplicated
@@ -136,7 +138,15 @@ def inference_vis(tracker: Tracker, dataset, output_dir: Optional[str] = None,
     for j, i in enumerate(my_videos):
         video = dataset[i]
         t0 = time.time()
-        all_results.extend(tracker(video, all_times=times))
+        video_results = tracker(video, all_times=times)
+        all_results.extend(video_results)
+        if viz_path:
+            from .util.visualization import save_video_visualization
+            save_video_visualization(video, video_results,
+                                     os.path.join(viz_path,
+                                                  str(video.video_id)),
+                                     cat_names=getattr(dataset, "cat_names",
+                                                       None))
         if verbose:
             print(f"video {j + 1}/{len(my_videos)} "
                   f"({time.time() - t0:.2f}s)", flush=True)

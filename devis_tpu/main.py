@@ -86,7 +86,11 @@ def load_initial_weights(cfg, model, variables):
             enc_temporal_window=da.ENC_TEMPORAL_WINDOW,
             enc_n_temporal_points=da.ENC_N_POINTS_TEMPORAL_FRAME,
             dec_n_temporal_points=da.DEC_N_POINTS_TEMPORAL_FRAME)
-    return ckpt_lib.torch_to_flax_variables(state, variables)
+    variables, missing, unused = ckpt_lib.torch_to_flax_variables(
+        state, variables, strict=False, verbose=True)
+    if missing:
+        print(f"{len(missing)} params initialized from scratch")
+    return variables
 
 
 def main(argv=None):
@@ -134,7 +138,8 @@ def main(argv=None):
                 tracker = build_tracker(cfg, model, vs)
                 out = inference_vis(tracker, dataset_val,
                                     output_dir=os.path.join(
-                                        output_dir, cfg.TEST.SAVE_PATH + tag))
+                                        output_dir, cfg.TEST.SAVE_PATH + tag),
+                                    viz_path=cfg.TEST.VIZ.OUT_VIZ_PATH or None)
                 if "eval" in out:
                     print(tag, json.dumps({k: v for k, v in out["eval"].items()
                                            if isinstance(v, float)}))

@@ -192,6 +192,19 @@ def _map_component(p: str) -> str:
         return f"decoder.layers.{p.rsplit('_', 1)[1]}"
     if p.startswith("input_proj_"):
         return f"input_proj.{p.rsplit('_', 1)[1]}"
+    # Swin backbone (reference swin_backbone.py naming)
+    if p == "patch_embed_proj":
+        return "patch_embed.proj"
+    if p == "patch_embed_norm":
+        return "patch_embed.norm"
+    m = re.match(r"layers_(\d+)_blocks_(\d+)$", p)
+    if m:
+        return f"layers.{m.group(1)}.blocks.{m.group(2)}"
+    m = re.match(r"layers_(\d+)_downsample$", p)
+    if m:
+        return f"layers.{m.group(1)}.downsample"
+    if p.startswith("mlp_fc"):
+        return f"mlp.{p.split('_', 1)[1]}"
     m = _IDX_SUFFIX.match(p)
     if m and m.group(1) in _IDX_MODULES:
         return f"{m.group(1)}.{m.group(2)}"
@@ -216,18 +229,21 @@ def flax_path_to_torch_key(module_parts: List[str], leaf_name: str,
     if input_proj_member is not None:
         base = f"{base}.{input_proj_member}"
 
+    def join(*names):
+        return ".".join(n for n in names if n)
+
     if collection == "frozen":                            # FrozenBN buffers
-        return f"{base}.{leaf_name}"
+        return join(base, leaf_name)
     if leaf_name == "query_embed":
-        return f"{base}.query_embed.weight"
+        return join(base, "query_embed.weight")
     if leaf_name in ("level_embed", "temporal_embed"):
-        return f"{base}.{leaf_name}"
+        return join(base, leaf_name)
     leaf = "weight" if leaf_name in ("kernel", "scale", "weight") else leaf_name
     # MDC stores its regular conv weight/bias directly on our module.
     if leaf_name in ("weight", "bias") and parts and \
             re.match(r"(lay\d+|out_lay)$", parts[-1]):
-        return f"{base}.regular_conv.{leaf}"
-    return f"{base}.{leaf}"
+        return join(base, f"regular_conv.{leaf}")
+    return join(base, leaf)
 
 
 def _to_flax_layout(arr: np.ndarray, leaf_name: str, target_shape) -> np.ndarray:
