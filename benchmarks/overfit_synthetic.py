@@ -7,7 +7,9 @@ stack (pallas kernels fwd+bwd, matcher, criterion, optimizer groups, tracker,
 RLE, TrackMAP) the way the reference's mini_train smoke runs do
 (SURVEY.md §4.2).
 
-Usage: python benchmarks/overfit_synthetic.py [steps]
+Usage: python benchmarks/overfit_synthetic.py [steps=1000]
+1000 steps reach TrackMAP AP ~72 (AP50/75 = 100) in ~6 min on v5e;
+attention-map specialization needs ~500 steps, so short runs give 0 AP.
 """
 from __future__ import annotations
 
@@ -143,9 +145,9 @@ def main(steps: int = 150):
               f"{inter / max(union, 1):.3f} area {pred.sum()}")
     print(f"RESULT loss {losses[0]:.3f} -> {losses[-1]:.3f}, "
           f"overfit TrackMAP AP {ap:.1f}")
-    assert ap > 30.0, f"overfit AP too low: {ap}"
+    assert ap > 50.0, f"overfit AP too low: {ap}"
     print("OVERFIT OK")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 150)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1000)
