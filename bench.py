@@ -27,12 +27,19 @@ def main():
     from devis_tpu.config import get_cfg_defaults
     from devis_tpu.models import build_model
 
+    # Mirror the reference's benchmark config
+    # (/root/reference/configs/devis/YT-19/devis_R_50_YT-19.yaml): 60 queries
+    # (10 per frame), top-20 output trajectories, 360/640 eval sizing.
     cfg = get_cfg_defaults()
     cfg.DATASETS.TYPE = "vis"
     cfg.MODEL.MASK_ON = True
     cfg.MODEL.LOSS.MASK_AUX_LOSS = [0]
-    cfg.MODEL.NUM_QUERIES = 360
+    cfg.MODEL.NUM_QUERIES = 60
+    cfg.MODEL.BBX_GRADIENT_PROP = True
     cfg.MODEL.DEVIS.NUM_FRAMES = T
+    cfg.TEST.NUM_OUT = 20
+    cfg.INPUT.MIN_SIZE_TEST = 360
+    cfg.INPUT.MAX_SIZE_TEST = 640
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.freeze()
     model = build_model(num_classes=41, cfg=cfg)
