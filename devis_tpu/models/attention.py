@@ -235,8 +235,6 @@ class TemporalMSDeformAttnEncoder(TemporalMSDeformAttnBase):
 
         loc_c = compute_sampling_locations(reference_points, c_off,
                                            spatial_shapes, self.n_curr_points)
-        out_c = ms_deform_attn(value, spatial_shapes, loc_c, att_c, impl=self.impl)
-
         frame_index = _temporal_frame_index(T, self.t_window, self.connect_all)
         t_value = self.stack_temporal_values(value, frame_index)
         t_shapes = make_temporal_shapes(spatial_shapes, W)
@@ -245,8 +243,22 @@ class TemporalMSDeformAttnEncoder(TemporalMSDeformAttnBase):
         t_ref = jnp.broadcast_to(t_ref, t_ref.shape[:2] + (W * self.n_levels, 2))
         loc_t = compute_sampling_locations(t_ref, t_off, t_shapes,
                                            self.n_temporal_points)
-        out_t = ms_deform_attn(t_value, t_shapes, loc_t, att_t, impl=self.impl)
 
+        if self.n_curr_points == self.n_temporal_points:
+            # Fuse the current-frame and temporal attention into ONE kernel
+            # call: the current frame's levels prepend the temporal level
+            # stack (per-call overhead is a measurable share of encoder time;
+            # the summation over levels is exactly out_c + out_t).
+            fused_value = jnp.concatenate([value, t_value], axis=1)
+            fused = ms_deform_attn(
+                fused_value, tuple(spatial_shapes) + t_shapes,
+                jnp.concatenate([loc_c, loc_t], axis=3),
+                jnp.concatenate([att_c, att_t], axis=3), impl=self.impl)
+            return self._output(fused)
+
+        out_c = ms_deform_attn(value, spatial_shapes, loc_c, att_c,
+                               impl=self.impl)
+        out_t = ms_deform_attn(t_value, t_shapes, loc_t, att_t, impl=self.impl)
         return self._output(out_c + out_t)
 
 
@@ -272,7 +284,6 @@ class TemporalMSDeformAttnDecoder(TemporalMSDeformAttnBase):
 
         loc_c = compute_sampling_locations(reference_points, c_off,
                                            spatial_shapes, self.n_curr_points)
-        out_c = ms_deform_attn(value, spatial_shapes, loc_c, att_c, impl=self.impl)
 
         frame_index = _temporal_frame_index(T, W, True)
         t_value = self.stack_temporal_values(value, frame_index)
@@ -289,7 +300,6 @@ class TemporalMSDeformAttnDecoder(TemporalMSDeformAttnBase):
             t_ref = jnp.tile(reference_points, (1, 1, W, 1))
         loc_t = compute_sampling_locations(t_ref, t_off, t_shapes,
                                            self.n_temporal_points)
-        out_t = ms_deform_attn(t_value, t_shapes, loc_t, att_t, impl=self.impl)
 
         # Attention-map capture for the visualizer (reference returns these
         # for TrackerAttMaps, ms_deform_attn.py:319,414). `sow` is free unless
@@ -299,6 +309,18 @@ class TemporalMSDeformAttnDecoder(TemporalMSDeformAttnBase):
         self.sow("intermediates", "viz_temporal_sampling_locations", loc_t)
         self.sow("intermediates", "viz_temporal_attention_weights", att_t)
 
+        if self.n_curr_points == self.n_temporal_points:
+            # One fused kernel call (see the encoder variant).
+            fused_value = jnp.concatenate([value, t_value], axis=1)
+            fused = ms_deform_attn(
+                fused_value, tuple(spatial_shapes) + t_shapes,
+                jnp.concatenate([loc_c, loc_t], axis=3),
+                jnp.concatenate([att_c, att_t], axis=3), impl=self.impl)
+            return self._output(fused).reshape(1, T * Lq, C)
+
+        out_c = ms_deform_attn(value, spatial_shapes, loc_c, att_c,
+                               impl=self.impl)
+        out_t = ms_deform_attn(t_value, t_shapes, loc_t, att_t, impl=self.impl)
         out = self._output(out_c + out_t)                 # (T, Lq, C)
         return out.reshape(1, T * Lq, C)
 
