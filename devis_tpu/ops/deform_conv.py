@@ -28,12 +28,19 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     is serial there), plain jnp gathers elsewhere."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    fn = _deform_conv2d_pallas if impl == "pallas" else _deform_conv2d_xla
-    return fn(x, offset, mask, weight, bias, padding)
+    if impl == "pallas":
+        # Rematerialize in the backward pass: the per-position gathered maps
+        # are (B·K², HW, Cin) with a small minor dim that XLA tile-pads up to
+        # 8× — saving them as autodiff residuals across all mask-head layers
+        # blows HBM (observed 25 GB at train shapes).
+        return jax.checkpoint(
+            lambda *a: _deform_conv2d_pallas(*a, padding))(
+            x, offset, mask, weight, bias)
+    return _deform_conv2d_xla(x, offset, mask, weight, bias, padding)
 
 
 def _deform_conv2d_pallas(x, offset, mask, weight, bias, padding=1,
-                          chunk_elems: int = 256 * 1024 * 1024):
+                          chunk_elems: int = 64 * 1024 * 1024):
     """Deformable conv as ONE deformable-attention call per batch chunk.
 
     The K² kernel positions ride the MSDA head axis as *grouped heads* that
@@ -95,8 +102,7 @@ def _deform_conv2d_pallas(x, offset, mask, weight, bias, padding=1,
                               att.reshape(n_chunks, chunk, H * W, KK, 1, 1)))
         g = g.reshape(n_chunks * chunk, H * W, KK * Cin)
     g = g[:B].reshape(B, H * W, KK, Cin)
-    out = jnp.einsum("bqkc,kcd->bqd", g.astype(jnp.float32),
-                     w_kk.astype(jnp.float32),
+    out = jnp.einsum("bqkc,kcd->bqd", g, w_kk.astype(g.dtype),
                      preferred_element_type=jnp.float32)
     return (out.reshape(B, H, W, Cout) + bias).astype(x.dtype)
 
