@@ -223,13 +223,19 @@ def evaluate_coco(model, variables, dataset, cfg,
                "labels": tk["labels"][0] + 1,           # back to COCO ids
                "boxes": boxes}
         if mask_on and "masks" in tk:
+            # Reference DefDETRSegmPostProcess semantics
+            # (deformable_segmentation.py:431-458): bilinear-upsample the
+            # logits to the padded canvas, threshold at 0.5, crop the valid
+            # region, nearest-resize to the original size.
             import cv2
-            hv, wv = max(1, round(h / st)), max(1, round(w / st))
             masks = []
             for m in tk["masks"][0]:
-                mm = cv2.resize(m[:hv, :wv].astype(np.float32), (ow, oh),
+                up = cv2.resize(m.astype(np.float32), (Wc, Hc),
                                 interpolation=cv2.INTER_LINEAR)
-                masks.append(mm > 0)                     # logit > 0 ⇔ p > 0.5
+                binm = (up > 0)[:h, :w]                  # logit > 0 ⇔ p > 0.5
+                mm = cv2.resize(binm.astype(np.uint8), (ow, oh),
+                                interpolation=cv2.INTER_NEAREST)
+                masks.append(mm > 0)
             res["masks"] = masks
         evaluator.update({int(sample["image_id"]): res})
         if verbose and (idx + 1) % 50 == 0:
