@@ -6,6 +6,7 @@ All functions are jit-compatible and operate on float arrays.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -107,3 +108,26 @@ def masks_to_boxes(masks: jnp.ndarray) -> jnp.ndarray:
     y_max = jnp.max(jnp.where(m > 0, ys, -big), axis=(1, 2))
     boxes = jnp.stack([x_min, y_min, x_max + 1, y_max + 1], axis=-1)
     return jnp.where(any_mask[:, None], boxes, jnp.zeros_like(boxes))
+
+
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+        iou_threshold: float = 0.5) -> jnp.ndarray:
+    """Greedy non-maximum suppression (reference box_ops.py:127).
+
+    boxes: (N, 4) xyxy; scores: (N,). Returns a boolean keep mask (static
+    shape — jit-friendly; callers index host-side where needed)."""
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    boxes_sorted = boxes[order]
+    iou_mat = box_iou(boxes_sorted, boxes_sorted)[0]
+
+    def body(i, keep):
+        # suppress j > i overlapping a kept i
+        suppress = (iou_mat[i] > iou_threshold) & \
+            (jnp.arange(n) > i) & keep[i]
+        return keep & ~suppress
+
+    keep = jax.lax.fori_loop(0, n, body, jnp.ones((n,), bool))
+    # un-sort back to input order
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n))
+    return keep[inv]

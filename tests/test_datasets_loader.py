@@ -79,3 +79,14 @@ class TestCollateEdgeCases:
         out = collate_images([sample], (64, 64), max_instances=3)
         assert not out["targets"]["valid"].any()
         assert out["pad_mask"][0, 45:].all()
+
+
+class TestNMS:
+    def test_greedy_suppression(self):
+        import jax.numpy as jnp
+        from devis_tpu.util.box_ops import nms
+        boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11],
+                             [50, 50, 60, 60], [0, 0, 3, 3]], jnp.float32)
+        scores = jnp.asarray([0.9, 0.8, 0.7, 0.95])
+        keep = np.asarray(nms(boxes, scores, 0.5))
+        assert keep.tolist() == [True, False, True, True]
