@@ -16,6 +16,14 @@ the s axis is **range-skipped**: deformable attention samples locally, so per
 visited (exact for any offsets — the range always covers every tap; the worst
 case degrades to the dense sweep).
 
+**Parity packing** halves the build cost: the value rows are split by raster
+parity into V_even[m] = V[2m] and V_odd[m] = V[2m+1], and the bilinear x-tap
+pair (i, i+1) always contains exactly one even and one odd index, so each tap
+is *statically* routable (entry k → parity class k & 1) to a per-class weight
+tile built by comparing the packed index m = i >> 1 against half-height
+columns. Same matmul FLOPs (two half-tiles instead of one), half the VPU
+compares per unit of spatial coverage — and the build dominates.
+
 Layout choices (Mosaic constraints):
   * tap indices/weights live as (B·M, L·K, Q): the tap axis sits on
     sublanes so the statically-unrolled tap loop reads single sublanes
@@ -65,11 +73,12 @@ def _level_starts(spatial_shapes: Shapes):
 
 
 def _padded_level_starts(spatial_shapes: Shapes, s_tile: int):
-    """Level starts when every level is padded to an s_tile multiple —
-    keeps all kernel value-slices statically s_tile-aligned."""
+    """Level starts in PACKED (row-pair) space when every level is padded to
+    an s_tile multiple — keeps all kernel value-slices statically
+    s_tile-aligned. Packed level size = ceil(h·w / 2)."""
     starts = [0]
     for h, w in spatial_shapes:
-        starts.append(starts[-1] + _round_up(h * w, s_tile))
+        starts.append(starts[-1] + _round_up(-(-h * w // 2), s_tile))
     return tuple(starts[:-1]), starts[-1]
 
 
@@ -82,10 +91,18 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _taps(spatial_shapes: Shapes, loc, att):
-    """Per-tap level-local flat indices and combined weights.
+    """Per-point parity-routed PACKED tap entries.
 
     loc: (B, Q, M, L, P, 2); att: (B, Q, M, L, P)
-    → idx (B, M, Q, L, P*4) int32 [level-local], wt (B, M, Q, L, P*4) f32.
+    → idx (B, M, Q, L, P*4) int32 [level-local, packed: m = raster >> 1],
+      wt  (B, M, Q, L, P*4) f32.
+
+    The 4 entries per point are (even-top, odd-top, even-bot, odd-bot): the
+    bilinear x-pair (i, i+1) always holds one even and one odd raster index,
+    so entry k belongs to parity class k & 1 *statically* and the kernel can
+    compare packed indices against half-height column tiles. Out-of-range
+    taps keep their UNCLIPPED packed index (weight is masked to 0, and ranges
+    only cover live entries — a dead index inside a visited tile adds 0).
     Differentiable wrt loc and att (idx uses stop_gradient internally).
     """
     B, Q, M, L, P, _ = loc.shape
@@ -109,13 +126,22 @@ def _taps(spatial_shapes: Shapes, loc, att):
     attf = att.astype(jnp.float32)
 
     idxs, wts = [], []
-    for oy, ox, tw in ((0, 0, (1 - dy) * (1 - dx)), (0, 1, (1 - dy) * dx),
-                       (1, 0, dy * (1 - dx)), (1, 1, dy * dx)):
-        yi, xi = y0i + oy, x0i + ox
-        valid = ((xi >= 0) & (xi < ws) & (yi >= 0) & (yi < hs))
-        idx = jnp.clip(yi, 0, hs - 1) * ws + jnp.clip(xi, 0, ws - 1)
-        idxs.append(idx)
-        wts.append(tw * valid.astype(jnp.float32) * attf)
+    for oy, wy in ((0, 1 - dy), (1, dy)):        # top row, bottom row
+        yi = y0i + oy
+        row_ok = ((yi >= 0) & (yi < hs))
+        base = yi * ws + x0i                     # unclipped left-tap raster
+        wl = wy * (1 - dx) * (row_ok & (x0i >= 0) &
+                              (x0i < ws)).astype(jnp.float32) * attf
+        wr = wy * dx * (row_ok & (x0i + 1 >= 0) &
+                        (x0i + 1 < ws)).astype(jnp.float32) * attf
+        even_left = (base & 1) == 0
+        m_l = base >> 1
+        m_r = (base + 1) >> 1
+        idxs.append(jnp.where(even_left, m_l, m_r))        # even-class entry
+        wts.append(jnp.where(even_left, wl, wr))
+        idxs.append(jnp.where(even_left, m_r, m_l))        # odd-class entry
+        wts.append(jnp.where(even_left, wr, wl))
+    # entry order per point: (e_top, o_top, e_bot, o_bot) — class = k & 1
     idx = jnp.stack(idxs, axis=-1).reshape(B, Q, M, L, P * 4)
     wt = jnp.stack(wts, axis=-1).reshape(B, Q, M, L, P * 4)
     return (jnp.transpose(idx, (0, 2, 1, 3, 4)),
@@ -148,21 +174,25 @@ def _tile_ranges(idx, wt, spatial_shapes: Shapes, q_tile: int, s_tile: int,
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _build_wt_tile(w_ref, idx_ref, wt_ref, cols_t, lvl: int, K: int):
-    """Accumulate Wᵀ (s_tile, Qt) into the `w_ref` scratch for one s-tile.
+def _build_wt_tiles(we_ref, wo_ref, idx_ref, wt_ref, cols_t, lvl: int, K: int):
+    """Accumulate the two per-parity Wᵀ (s_tile, Qt) scratch tiles for one
+    packed s-tile. Entry k routes statically to class k & 1.
 
-    Statically-unrolled tap loop with static sublane reads; the scratch ref
-    (instead of an SSA chain) bounds live temporaries to one tile."""
-    w_ref[:] = jnp.zeros_like(w_ref)
-    zero = jnp.zeros((), w_ref.dtype)
+    Statically-unrolled tap loop with static sublane reads; the scratch refs
+    (instead of an SSA chain) bound live temporaries to one tile."""
+    we_ref[:] = jnp.zeros_like(we_ref)
+    wo_ref[:] = jnp.zeros_like(wo_ref)
+    zero = jnp.zeros((), we_ref.dtype)
     for k in range(K):
+        ref = we_ref if (k & 1) == 0 else wo_ref
         idx_k = idx_ref[0, lvl * K + k, :][None, :]            # (1, Qt)
-        wt_k = wt_ref[0, lvl * K + k, :][None, :].astype(w_ref.dtype)
-        w_ref[:] += jnp.where(idx_k == cols_t, wt_k, zero)
+        wt_k = wt_ref[0, lvl * K + k, :][None, :].astype(ref.dtype)
+        ref[:] += jnp.where(idx_k == cols_t, wt_k, zero)
 
 
-def _fwd_kernel(ranges_ref, value_ref, idx_ref, wt_ref, out_ref, w_ref, *,
-                level_starts, s_tile: int, K: int, acc_dtype):
+def _fwd_kernel(ranges_ref, ve_ref, vo_ref, idx_ref, wt_ref, out_ref,
+                we_ref, wo_ref, *, level_starts, s_tile: int, K: int,
+                acc_dtype):
     """One (b·m, q-tile) instance: out (1, Qt, D)."""
     Qt = out_ref.shape[1]
     D = out_ref.shape[2]
@@ -178,12 +208,17 @@ def _fwd_kernel(ranges_ref, value_ref, idx_ref, wt_ref, out_ref, w_ref, *,
 
         def body(t, acc, lvl=lvl):
             s0 = pl.multiple_of((start_t + t) * s_tile, s_tile)
-            vt = value_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
-            _build_wt_tile(w_ref, idx_ref, wt_ref,
-                           rows0 + s0.astype(idt), lvl, K)
-            # out[q] += Σ_s Wᵀ[s, q] · v[s]  — contract the s axis
+            vte = ve_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
+            vto = vo_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
+            _build_wt_tiles(we_ref, wo_ref, idx_ref, wt_ref,
+                            rows0 + s0.astype(idt), lvl, K)
+            # out[q] += Σ_m Wᵀ[m, q] · v[m]  — contract the packed s axis
+            acc = acc + jax.lax.dot_general(
+                we_ref[:].astype(acc_dtype), vte.astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             return acc + jax.lax.dot_general(
-                w_ref[:].astype(acc_dtype), vt.astype(acc_dtype),
+                wo_ref[:].astype(acc_dtype), vto.astype(acc_dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
@@ -191,11 +226,11 @@ def _fwd_kernel(ranges_ref, value_ref, idx_ref, wt_ref, out_ref, w_ref, *,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _bwd_kernel(ranges_ref, value_ref, idx_ref, wt_ref, g_ref,
-                gval_ref, gwt_ref, w_ref, *, level_starts, s_tile: int,
-                K: int, acc_dtype, groups: int = 1):
+def _bwd_kernel(ranges_ref, ve_ref, vo_ref, idx_ref, wt_ref, g_ref,
+                gve_ref, gvo_ref, gwt_ref, we_ref, wo_ref, *, level_starts,
+                s_tile: int, K: int, acc_dtype, groups: int = 1):
     """Gradients for one (b·m, q-tile): grad_value (accumulated across
-    q-tiles — the gval block is revisited, zeroed at the first tile) and
+    q-tiles — the gval blocks are revisited, zeroed at the first tile) and
     grad_wt."""
     Qt = g_ref.shape[1]
     L = len(level_starts)
@@ -207,7 +242,8 @@ def _bwd_kernel(ranges_ref, value_ref, idx_ref, wt_ref, g_ref,
     bm_i = pl.program_id(0)
     @pl.when((qt_i == 0) & (bm_i % groups == 0))
     def _():
-        gval_ref[0] = jnp.zeros_like(gval_ref[0])
+        gve_ref[0] = jnp.zeros_like(gve_ref[0])
+        gvo_ref[0] = jnp.zeros_like(gvo_ref[0])
 
     gwt_ref[0] = jnp.zeros_like(gwt_ref[0])
 
@@ -218,19 +254,28 @@ def _bwd_kernel(ranges_ref, value_ref, idx_ref, wt_ref, g_ref,
         def body(t, carry, lvl=lvl):
             s0 = pl.multiple_of((start_t + t) * s_tile, s_tile)
             base = level_starts[lvl] + s0
-            vt = value_ref[0, pl.ds(base, s_tile), :]
+            vte = ve_ref[0, pl.ds(base, s_tile), :]
+            vto = vo_ref[0, pl.ds(base, s_tile), :]
             cols_t = rows0 + s0.astype(idt)
-            _build_wt_tile(w_ref, idx_ref, wt_ref, cols_t, lvl, K)
+            _build_wt_tiles(we_ref, wo_ref, idx_ref, wt_ref, cols_t, lvl, K)
             # grad_value tile += Wᵀ @ g   (deterministic scatter-free)
-            gval_ref[0, pl.ds(base, s_tile), :] += jax.lax.dot(
-                w_ref[:].astype(acc_dtype), g.astype(acc_dtype),
-                preferred_element_type=jnp.float32).astype(gval_ref.dtype)
-            # Gᵀ[s, q] = v[s] · g[q]; grad_wt[q, k] = Gᵀ[idx[q, k], q]
-            G_t = jax.lax.dot_general(
-                vt.astype(acc_dtype), g.astype(acc_dtype),
+            gve_ref[0, pl.ds(base, s_tile), :] += jax.lax.dot(
+                we_ref[:].astype(acc_dtype), g.astype(acc_dtype),
+                preferred_element_type=jnp.float32).astype(gve_ref.dtype)
+            gvo_ref[0, pl.ds(base, s_tile), :] += jax.lax.dot(
+                wo_ref[:].astype(acc_dtype), g.astype(acc_dtype),
+                preferred_element_type=jnp.float32).astype(gvo_ref.dtype)
+            # Gᵀ[m, q] = v[m] · g[q]; grad_wt[q, k] = G_classᵀ[idx[q, k], q]
+            G_e = jax.lax.dot_general(
+                vte.astype(acc_dtype), g.astype(acc_dtype),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (s_tile, Qt)
+            G_o = jax.lax.dot_general(
+                vto.astype(acc_dtype), g.astype(acc_dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
             for k in range(K):
+                G_t = G_e if (k & 1) == 0 else G_o
                 idx_k = idx_ref[0, lvl * K + k, :][None, :]    # (1, Qt)
                 col = jnp.sum(jnp.where(idx_k == cols_t, G_t, 0.0),
                               axis=0, keepdims=True)           # (1, Qt)
@@ -239,8 +284,8 @@ def _bwd_kernel(ranges_ref, value_ref, idx_ref, wt_ref, g_ref,
 
         jax.lax.fori_loop(0, num_t, body, 0)
     # NOTE: taps with wt == 0 can still get a grad_wt contribution when their
-    # clipped index lies inside a visited range; the XLA chain rule multiplies
-    # by the validity mask, zeroing them — semantics stay exact.
+    # unclipped index lies inside a visited range; the XLA chain rule
+    # multiplies by the validity mask, zeroing them — semantics stay exact.
 
 
 # ---------------------------------------------------------------------------
@@ -258,77 +303,83 @@ def _common_specs(q_tile, L, K, S_pad, D, groups: int = 1):
                               memory_space=pltpu.VMEM)
     idx_spec = pl.BlockSpec((1, L * K, q_tile), lambda bm, qt: (bm, 0, qt),
                             memory_space=pltpu.VMEM)
-    return ranges_spec, value_spec, idx_spec, idx_spec
+    return ranges_spec, value_spec, value_spec, idx_spec, idx_spec
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
-def _fwd_call(spatial_shapes: Shapes, value_bm, idx, wt, ranges,
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
+def _fwd_call(spatial_shapes: Shapes, value_e, value_o, idx, wt, ranges,
               q_tile: int, s_tile: int, groups: int = 1):
-    """value_bm: (B·M, S_pad, D); idx/wt: (B·M·G, L·K, q_pad)."""
-    BM, S_pad, D = value_bm.shape
+    """value_e/value_o: (B·M, S_pad, D) parity-packed;
+    idx/wt: (B·M·G, L·K, q_pad)."""
+    BM, S_pad, D = value_e.shape
     BMG = idx.shape[0]
     LK, q_pad = idx.shape[1], idx.shape[2]
     L = ranges.shape[2]
     K = LK // L
     level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
-    acc_dtype = value_bm.dtype if value_bm.dtype == jnp.bfloat16 \
+    acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
         else jnp.float32
-    r_spec, v_spec, i_spec, w_spec = _common_specs(q_tile, L, K, S_pad, D,
-                                                   groups)
+    r_spec, ve_spec, vo_spec, i_spec, w_spec = _common_specs(
+        q_tile, L, K, S_pad, D, groups)
     kernel = functools.partial(_fwd_kernel, level_starts=level_starts,
                                s_tile=s_tile, K=K, acc_dtype=acc_dtype)
     return pl.pallas_call(
         kernel,
         grid=(BMG, q_pad // q_tile),
-        in_specs=[r_spec, v_spec, i_spec, w_spec],
+        in_specs=[r_spec, ve_spec, vo_spec, i_spec, w_spec],
         out_specs=pl.BlockSpec((1, q_tile, D), lambda bm, qt: (bm, qt, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BMG, q_pad, D), value_bm.dtype),
-        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((BMG, q_pad, D), value_e.dtype),
+        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
+                        pltpu.VMEM((s_tile, q_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(ranges, value_bm, idx, wt)
+    )(ranges, value_e, value_o, idx, wt)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
-def _bwd_call(spatial_shapes: Shapes, value_bm, idx, wt, ranges, g_bm,
+@functools.partial(jax.jit, static_argnums=(0, 7, 8, 9))
+def _bwd_call(spatial_shapes: Shapes, value_e, value_o, idx, wt, ranges, g_bm,
               q_tile: int, s_tile: int, groups: int = 1):
-    BM, S_pad, D = value_bm.shape
+    BM, S_pad, D = value_e.shape
     BMG = idx.shape[0]
     LK, q_pad = idx.shape[1], idx.shape[2]
     L = ranges.shape[2]
     K = LK // L
     level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
-    acc_dtype = value_bm.dtype if value_bm.dtype == jnp.bfloat16 \
+    acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
         else jnp.float32
-    r_spec, v_spec, i_spec, w_spec = _common_specs(q_tile, L, K, S_pad, D,
-                                                   groups)
+    r_spec, ve_spec, vo_spec, i_spec, w_spec = _common_specs(
+        q_tile, L, K, S_pad, D, groups)
     g_spec = pl.BlockSpec((1, q_tile, D), lambda bm, qt: (bm, qt, 0),
                           memory_space=pltpu.VMEM)
     kernel = functools.partial(_bwd_kernel, level_starts=level_starts,
                                s_tile=s_tile, K=K, acc_dtype=acc_dtype,
                                groups=groups)
-    gval, gwt = pl.pallas_call(
+    gval_spec = pl.BlockSpec((1, S_pad, D), lambda bm, qt: (bm // groups, 0, 0),
+                             memory_space=pltpu.VMEM)
+    gve, gvo, gwt = pl.pallas_call(
         kernel,
         grid=(BMG, q_pad // q_tile),
-        in_specs=[r_spec, v_spec, i_spec, w_spec, g_spec],
+        in_specs=[r_spec, ve_spec, vo_spec, i_spec, w_spec, g_spec],
         out_specs=(
-            pl.BlockSpec((1, S_pad, D), lambda bm, qt: (bm // groups, 0, 0),
-                         memory_space=pltpu.VMEM),
+            gval_spec,
+            gval_spec,
             pl.BlockSpec((1, L * K, q_tile), lambda bm, qt: (bm, 0, qt),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BM, S_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((BM, S_pad, D), jnp.float32),
             jax.ShapeDtypeStruct((BMG, LK, q_pad), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
+                        pltpu.VMEM((s_tile, q_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(ranges, value_bm, idx, wt, g_bm)
-    return gval, gwt
+    )(ranges, value_e, value_o, idx, wt, g_bm)
+    return gve, gvo, gwt
 
 
 # ---------------------------------------------------------------------------
@@ -336,29 +387,44 @@ def _bwd_call(spatial_shapes: Shapes, value_bm, idx, wt, ranges, g_bm,
 # ---------------------------------------------------------------------------
 
 Q_TILE = 256
-S_TILE = 256
+S_TILE = 128          # PACKED rows per tile — covers 256 raster rows
 
 
 def _pack_levels(value_bm, spatial_shapes: Shapes, s_tile: int):
-    """(B·M, S, D) → (B·M, S_pad, D) with every level padded to s_tile."""
+    """(B·M, S, D) → (V_even, V_odd), each (B·M, S_pad, D): every level split
+    by raster parity (V_even[m] = V[2m], V_odd[m] = V[2m+1]) and padded to an
+    s_tile multiple in packed space."""
     starts = _level_starts(spatial_shapes)
+    BM, _, D = value_bm.shape
+    evens, odds = [], []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        n = h * w
+        n2 = -(-n // 2)
+        seg = jax.lax.slice_in_dim(value_bm, starts[lvl], starts[lvl] + n,
+                                   axis=1)
+        pad_rows = _round_up(n2, s_tile) * 2 - n
+        seg = jnp.pad(seg, ((0, 0), (0, pad_rows), (0, 0)))
+        seg = seg.reshape(BM, -1, 2, D)
+        evens.append(seg[:, :, 0])
+        odds.append(seg[:, :, 1])
+    return jnp.concatenate(evens, axis=1), jnp.concatenate(odds, axis=1)
+
+
+def _unpack_levels(packed_e, packed_o, spatial_shapes: Shapes, s_tile: int):
+    """Inverse of `_pack_levels`: interleave parity classes back into raster
+    order along axis 1."""
+    pstarts, _ = _padded_level_starts(spatial_shapes, s_tile)
+    BM, _, D = packed_e.shape
     parts = []
     for lvl, (h, w) in enumerate(spatial_shapes):
         n = h * w
-        seg = jax.lax.slice_in_dim(value_bm, starts[lvl], starts[lvl] + n,
-                                   axis=1)
-        parts.append(jnp.pad(seg, ((0, 0), (0, _round_up(n, s_tile) - n),
-                                   (0, 0))))
-    return jnp.concatenate(parts, axis=1)
-
-
-def _unpack_levels(packed, spatial_shapes: Shapes, s_tile: int):
-    """Inverse of `_pack_levels` along axis 1."""
-    pstarts, _ = _padded_level_starts(spatial_shapes, s_tile)
-    parts = []
-    for lvl, (h, w) in enumerate(spatial_shapes):
-        parts.append(jax.lax.slice_in_dim(packed, pstarts[lvl],
-                                          pstarts[lvl] + h * w, axis=1))
+        n2 = -(-n // 2)
+        e = jax.lax.slice_in_dim(packed_e, pstarts[lvl], pstarts[lvl] + n2,
+                                 axis=1)
+        o = jax.lax.slice_in_dim(packed_o, pstarts[lvl], pstarts[lvl] + n2,
+                                 axis=1)
+        inter = jnp.stack([e, o], axis=2).reshape(BM, 2 * n2, D)
+        parts.append(inter[:, :n])
     return jnp.concatenate(parts, axis=1)
 
 
@@ -383,8 +449,8 @@ def _prep(value, spatial_shapes, loc, att, q_tile, s_tile):
     # rate) was prototyped but v5e's VPU supports neither 16-bit iota nor
     # 16-bit vector compares — the W build stays int32/float32.
     value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
-    value_bm = _pack_levels(value_bm, spatial_shapes, s_tile)
-    return value_bm, idx, wt, ranges, L, K, q_pad
+    value_e, value_o = _pack_levels(value_bm, spatial_shapes, s_tile)
+    return value_e, value_o, idx, wt, ranges, L, K, q_pad
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
@@ -404,9 +470,9 @@ def _fwd_res(value, spatial_shapes, loc, att, q_tile=None):
     Q = loc.shape[1]
     MG = loc.shape[2]
     groups = MG // M
-    value_bm, idx, wt, ranges, L, K, q_pad = _prep(
+    value_e, value_o, idx, wt, ranges, L, K, q_pad = _prep(
         value, spatial_shapes, loc, att, q_tile, S_TILE)
-    out_bm = _fwd_call(spatial_shapes, value_bm, idx, wt, ranges,
+    out_bm = _fwd_call(spatial_shapes, value_e, value_o, idx, wt, ranges,
                        q_tile, S_TILE, groups)
     out = out_bm.reshape(B, MG, q_pad, D)[:, :, :Q]
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, MG * D)
@@ -424,15 +490,15 @@ def _fwd_bwd(spatial_shapes, q_tile, res, g):
     Q = loc.shape[1]
     MG = loc.shape[2]
     groups = MG // M
-    value_bm, idx, wt, ranges, L, K, q_pad = _prep(
+    value_e, value_o, idx, wt, ranges, L, K, q_pad = _prep(
         value, spatial_shapes, loc, att, q_tile, S_TILE)
     g_bm = jnp.transpose(g.reshape(B, Q, MG, D), (0, 2, 1, 3)) \
         .reshape(B * MG, Q, D)
     g_bm = jnp.pad(g_bm, ((0, 0), (0, q_pad - Q), (0, 0))) \
-        .astype(value_bm.dtype)
-    gval_bm, gwt = _bwd_call(spatial_shapes, value_bm, idx, wt, ranges, g_bm,
-                             q_tile, S_TILE, groups)
-    gval = _unpack_levels(gval_bm, spatial_shapes, S_TILE)
+        .astype(value_e.dtype)
+    gve, gvo, gwt = _bwd_call(spatial_shapes, value_e, value_o, idx, wt,
+                              ranges, g_bm, q_tile, S_TILE, groups)
+    gval = _unpack_levels(gve, gvo, spatial_shapes, S_TILE)
     gval = gval.reshape(B, M, S, D).transpose(0, 2, 1, 3)
     # back to (B, MG, Q, L, K), then chain rule through the tap builder
     gwt = gwt.reshape(B, MG, L, K, q_pad)[..., :Q].transpose(0, 1, 4, 2, 3)
