@@ -40,22 +40,25 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
 
 
 def _deform_conv2d_pallas(x, offset, mask, weight, bias, padding=1,
-                          chunk_elems: int = 64 * 1024 * 1024):
-    """Deformable conv as ONE deformable-attention call per batch chunk.
+                          vmem_budget: int = 10 * 1024 * 1024):
+    """Deformable conv with the channel mix folded BEFORE the gather.
 
-    The K² kernel positions ride the MSDA head axis as *grouped heads* that
-    share a single value head (the kernel maps the group's grid rows onto one
-    value block — no HBM replication of x): head k's sampling location =
-    base grid + kernel offset_k + learned offset_k, attention weight = the
-    modulation mask. Channel mixing with weight[k] happens AFTER the gather
-    on the per-head outputs, so the gathered dim stays D = Cin
-    (lane-friendly) for ANY Cout — including the mask head's 1-channel
-    out_lay, where a pre-mixed Cout=1 value hits XLA's 128× tile padding on
-    the size-1 minor dim (11 GB temps).
+    Bilinear sampling is linear and the conv weight is constant over space, so
+        out(p) = Σ_k m_k(p) · bilinear(x, p+k+Δ_k(p)) @ W_k
+               = Σ_k m_k(p) · bilinear(x @ W_k, p+k+Δ_k(p)).
+    We precompute U_k = x @ W_k per kernel position (one MXU einsum) and
+    gather the K² positions as K² *levels* of a single standard MSDA call
+    (1 head, P=1, modulation mask as attention weight). Compared with the
+    earlier grouped-head form this removes the (B, HW, K²·Cin) gathered
+    intermediate, its `lax.map` batch chunking, and the post-gather einsum —
+    the kernel writes the final (B, HW, Cout) directly, and each grid cell
+    amortizes its overhead over K² levels instead of 4 taps.
 
-    The mask head runs this with batch = trajectories × frames (hundreds);
-    the batch is processed in `lax.map` chunks to bound peak HBM."""
-    from .ms_deform_attn_pallas import ms_deform_attn_pallas
+    Positions are processed in groups so the level-stacked value buffer fits
+    VMEM: a (rows, Cout) block lane-pads Cout up to 128, so per-level VMEM is
+    `2 · packed_rows · 128 · itemsize` regardless of Cout."""
+    from .ms_deform_attn_pallas import (S_TILE, _round_up,
+                                        ms_deform_attn_pallas)
     B, H, W, Cin = x.shape
     K = weight.shape[0]
     KK = K * K
@@ -68,42 +71,27 @@ def _deform_conv2d_pallas(x, offset, mask, weight, bias, padding=1,
     # MSDA convention: pixel = loc·size − 0.5  ⇒  loc = (pixel + 0.5)/size
     sy = (base_y + (ky - padding) + off[..., 0] + 0.5) / H   # (B, H, W, KK)
     sx = (base_x + (kx - padding) + off[..., 1] + 0.5) / W
-    # kernel positions ride the HEAD axis as K² GROUPED heads sharing one
-    # value head (the kernel maps G consecutive grid rows to one value block,
-    # so x is never replicated in HBM). Channel mixing with weight[k] happens
-    # AFTER the gather on per-head outputs — the gathered dim stays D = Cin
-    # (lane-friendly) for ANY Cout, including the 1-channel out_lay (a
-    # pre-mixed Cout=1 value hits XLA's 128× tile padding on the size-1
-    # minor dim → 11 GB temps).
-    loc = jnp.stack([sx, sy], axis=-1).reshape(B, H * W, KK, 1, 1, 2)
-    att = mask.reshape(B, H * W, KK, 1, 1)
+    loc = jnp.stack([sx, sy], axis=-1).reshape(B, H * W, 1, KK, 1, 2)
+    att = mask.reshape(B, H * W, 1, KK, 1)
     w_kk = weight.reshape(KK, Cin, Cout)
+    xq = x.reshape(B, H * W, Cin)
 
-    def run(args):
-        xc, locc, attc = args
-        c = xc.shape[0]
-        value = xc.reshape(c, H * W, 1, Cin)          # 1 value head, G = K²
-        out_h = ms_deform_attn_pallas(value, ((H, W),), locc, attc)
-        return out_h                                  # (c, HW, KK·Cin)
-
-    per_item = KK * H * W * Cin
-    chunk = max(1, min(B, chunk_elems // per_item))
-    if B % chunk:
-        pad = chunk - B % chunk
-        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * 3)
-        loc = jnp.pad(loc, ((0, pad),) + ((0, 0),) * 5)
-        att = jnp.pad(att, ((0, pad),) + ((0, 0),) * 4)
-    n_chunks = x.shape[0] // chunk
-    if n_chunks == 1:
-        g = run((x, loc, att))
-    else:
-        g = jax.lax.map(run, (x.reshape(n_chunks, chunk, H, W, Cin),
-                              loc.reshape(n_chunks, chunk, H * W, KK, 1, 1, 2),
-                              att.reshape(n_chunks, chunk, H * W, KK, 1, 1)))
-        g = g.reshape(n_chunks * chunk, H * W, KK * Cin)
-    g = g[:B].reshape(B, H * W, KK, Cin)
-    out = jnp.einsum("bqkc,kcd->bqd", g, w_kk.astype(g.dtype),
-                     preferred_element_type=jnp.float32)
+    rows2 = _round_up(-(-H * W // 2), S_TILE)
+    per_level = 2 * rows2 * 128 * x.dtype.itemsize
+    per_call = max(1, min(KK, vmem_budget // per_level))
+    out = jnp.zeros((B, H * W, Cout), jnp.float32)
+    for g0 in range(0, KK, per_call):
+        g1 = min(g0 + per_call, KK)
+        # TPU f32 dots default to bf16 multiplies; pin true-f32 precision on
+        # the f32 (parity/debug) path — the bf16 inference path is unaffected.
+        prec = ("highest" if x.dtype == jnp.float32 else None)
+        u = jnp.einsum("bqc,kcd->bkqd", xq, w_kk[g0:g1].astype(x.dtype),
+                       preferred_element_type=jnp.float32,
+                       precision=prec).astype(x.dtype)
+        o = ms_deform_attn_pallas(u.reshape(B, (g1 - g0) * H * W, 1, Cout),
+                                  ((H, W),) * (g1 - g0),
+                                  loc[:, :, :, g0:g1], att[:, :, :, g0:g1])
+        out = out + o.astype(jnp.float32)
     return (out.reshape(B, H, W, Cout) + bias).astype(x.dtype)
 
 

@@ -194,13 +194,13 @@ def _fwd_kernel(ranges_ref, ve_ref, vo_ref, idx_ref, wt_ref, out_ref,
                 we_ref, wo_ref, *, level_starts, s_tile: int, K: int,
                 acc_dtype):
     """One (b·m, q-tile) instance: out (1, Qt, D)."""
-    Qt = out_ref.shape[1]
-    D = out_ref.shape[2]
+    D = out_ref.shape[1]
+    Qt = out_ref.shape[2]
     L = len(level_starts)
     idt = idx_ref.dtype
     # hardware has no 16-bit iota; build in i32 and convert
     rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0).astype(idt)
-    acc = jnp.zeros((Qt, D), jnp.float32)
+    acc = jnp.zeros((D, Qt), jnp.float32)
 
     for lvl in range(L):
         start_t = ranges_ref[0, 0, lvl, 0]
@@ -212,13 +212,13 @@ def _fwd_kernel(ranges_ref, ve_ref, vo_ref, idx_ref, wt_ref, out_ref,
             vto = vo_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
             _build_wt_tiles(we_ref, wo_ref, idx_ref, wt_ref,
                             rows0 + s0.astype(idt), lvl, K)
-            # out[q] += Σ_m Wᵀ[m, q] · v[m]  — contract the packed s axis
+            # outᵀ[d, q] += Σ_m vᵀ[d, m] · Wᵀ[m, q] — full-lane N = Qt
             acc = acc + jax.lax.dot_general(
-                we_ref[:].astype(acc_dtype), vte.astype(acc_dtype),
+                vte.astype(acc_dtype), we_ref[:].astype(acc_dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             return acc + jax.lax.dot_general(
-                wo_ref[:].astype(acc_dtype), vto.astype(acc_dtype),
+                vto.astype(acc_dtype), wo_ref[:].astype(acc_dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
@@ -327,9 +327,9 @@ def _fwd_call(spatial_shapes: Shapes, value_e, value_o, idx, wt, ranges,
         kernel,
         grid=(BMG, q_pad // q_tile),
         in_specs=[r_spec, ve_spec, vo_spec, i_spec, w_spec],
-        out_specs=pl.BlockSpec((1, q_tile, D), lambda bm, qt: (bm, qt, 0),
+        out_specs=pl.BlockSpec((1, D, q_tile), lambda bm, qt: (bm, 0, qt),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BMG, q_pad, D), value_e.dtype),
+        out_shape=jax.ShapeDtypeStruct((BMG, D, q_pad), value_e.dtype),
         scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
                         pltpu.VMEM((s_tile, q_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -474,8 +474,8 @@ def _fwd_res(value, spatial_shapes, loc, att, q_tile=None):
         value, spatial_shapes, loc, att, q_tile, S_TILE)
     out_bm = _fwd_call(spatial_shapes, value_e, value_o, idx, wt, ranges,
                        q_tile, S_TILE, groups)
-    out = out_bm.reshape(B, MG, q_pad, D)[:, :, :Q]
-    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, MG * D)
+    out = out_bm.reshape(B, MG, D, q_pad)[..., :Q]
+    out = jnp.transpose(out, (0, 3, 1, 2)).reshape(B, Q, MG * D)
     return out.astype(value.dtype), (value, loc, att)
 
 
