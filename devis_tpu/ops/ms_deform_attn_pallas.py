@@ -148,6 +148,53 @@ def _taps(spatial_shapes: Shapes, loc, att):
             jnp.transpose(wt, (0, 2, 1, 3, 4)))
 
 
+def _loc_ranges(loc, att, spatial_shapes: Shapes, q_tile: int, s_tile: int,
+                q_pad: int):
+    """Per (b·m, q-tile, level) PACKED s-tile [start, count] computed directly
+    from sampling locations (no materialized tap indices — the forward kernel
+    generates taps in-kernel).
+
+    loc: (B, Q, MG, L, P, 2); att: unused except shape. A point contributes
+    iff its 2×2 tap square intersects the level; the bound uses
+    min/max of the clipped tap rows/cols (a superset of the live entries,
+    exact coverage for any offsets)."""
+    B, Q, MG, L, P, _ = loc.shape
+    del att
+    lows, highs = [], []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        x = loc[:, :, :, lvl, :, 0].astype(jnp.float32) * w - 0.5
+        y = loc[:, :, :, lvl, :, 1].astype(jnp.float32) * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        valid = (x > -1) & (x < w) & (y > -1) & (y < h)
+        xlo = jnp.clip(x0, 0, w - 1)
+        xhi = jnp.clip(x0 + 1, 0, w - 1)
+        ylo = jnp.clip(y0, 0, h - 1)
+        yhi = jnp.clip(y0 + 1, 0, h - 1)
+        lo = jnp.floor((ylo * w + xlo) * 0.5)
+        hi = jnp.floor((yhi * w + xhi) * 0.5)
+        big = jnp.float32(1 << 30)
+        lows.append(jnp.where(valid, lo, big))        # (B, Q, MG, P)
+        highs.append(jnp.where(valid, hi, -1.0))
+    lo = jnp.stack(lows, axis=3)                      # (B, Q, MG, L, P)
+    hi = jnp.stack(highs, axis=3)
+    pad = q_pad - Q
+    if pad:
+        lo = jnp.pad(lo, ((0, 0), (0, pad)) + ((0, 0),) * 3,
+                     constant_values=float(1 << 30))
+        hi = jnp.pad(hi, ((0, 0), (0, pad)) + ((0, 0),) * 3,
+                     constant_values=-1.0)
+    nqt = q_pad // q_tile
+    # (B, q_pad, MG, L, P) → (B·MG, nqt, L)
+    lo = jnp.transpose(lo, (0, 2, 1, 3, 4)).reshape(B * MG, nqt, q_tile, L, P)
+    hi = jnp.transpose(hi, (0, 2, 1, 3, 4)).reshape(B * MG, nqt, q_tile, L, P)
+    mn = jnp.min(lo, axis=(2, 4)).astype(jnp.int32)
+    mx = jnp.max(hi, axis=(2, 4)).astype(jnp.int32)
+    start = jnp.where(mx >= 0, mn // s_tile, 0).astype(jnp.int32)
+    count = jnp.where(mx >= 0, mx // s_tile + 1 - mn // s_tile, 0)
+    return jnp.stack([start, count.astype(jnp.int32)], axis=-1)
+
+
 def _tile_ranges(idx, wt, spatial_shapes: Shapes, q_tile: int, s_tile: int,
                  q_pad: int):
     """Per (b·m, q-tile, level) s-tile [start, count] covering every tap.
@@ -190,40 +237,85 @@ def _build_wt_tiles(we_ref, wo_ref, idx_ref, wt_ref, cols_t, lvl: int, K: int):
         ref[:] += jnp.where(idx_k == cols_t, wt_k, zero)
 
 
-def _fwd_kernel(ranges_ref, ve_ref, vo_ref, idx_ref, wt_ref, out_ref,
-                we_ref, wo_ref, *, level_starts, s_tile: int, K: int,
-                acc_dtype):
-    """One (b·m, q-tile) instance: out (1, Qt, D)."""
+def _level_entries(lx, ly, at, h: int, w: int):
+    """In-kernel tap generation for one level: from (P, Qt) location/weight
+    rows to the 4 parity-routed PACKED entries per point (same math as
+    `_taps`, f32 throughout — exact for indices < 2^23).
+
+    Returns [(idx_e, wt_e, idx_o, wt_o)] for top and bottom rows: each a
+    (P, Qt) f32 block; entry class is static (even, odd)."""
+    hf, wf = float(h), float(w)
+    x = lx * wf - 0.5
+    y = ly * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    one = jnp.float32(1.0)
+    vx0 = (x0 >= 0) & (x0 <= wf - 1)
+    vx1 = (x0 >= -1) & (x0 <= wf - 2)
+    out = []
+    for y_row, wy in ((y0, (1 - dy)), (y0 + 1, dy)):
+        vy = (y_row >= 0) & (y_row <= hf - 1)
+        wl = wy * (1 - dx) * at * jnp.where(vy & vx0, one, 0.0)
+        wr = wy * dx * at * jnp.where(vy & vx1, one, 0.0)
+        base = y_row * wf + x0
+        m_l = jnp.floor(base * 0.5)
+        m_r = jnp.floor((base + 1) * 0.5)
+        even = (base - 2.0 * m_l) == 0
+        out.append((jnp.where(even, m_l, m_r), jnp.where(even, wl, wr),
+                    jnp.where(even, m_r, m_l), jnp.where(even, wr, wl)))
+    return out
+
+
+def _fwd_kernel_fused(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
+                      out_ref, we_ref, wo_ref, *, spatial_shapes,
+                      level_starts, s_tile: int, P: int, acc_dtype):
+    """One (b·m, q-tile) instance with in-kernel tap generation: operands are
+    raw sampling locations/attention rows (L·P per cell) instead of
+    pre-expanded tap indices/weights — 8/3 less operand traffic and no
+    XLA-side tap fusion/transpose/pad chain."""
     D = out_ref.shape[1]
     Qt = out_ref.shape[2]
-    L = len(level_starts)
-    idt = idx_ref.dtype
-    # hardware has no 16-bit iota; build in i32 and convert
-    rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0).astype(idt)
-    acc = jnp.zeros((D, Qt), jnp.float32)
+    rows0 = jax.lax.broadcasted_iota(jnp.float32, (s_tile, Qt), 0)
+    acc_e = jnp.zeros((D, Qt), jnp.float32)
+    acc_o = jnp.zeros((D, Qt), jnp.float32)
 
-    for lvl in range(L):
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        lx = lx_ref[0, lvl * P:(lvl + 1) * P, :]
+        ly = ly_ref[0, lvl * P:(lvl + 1) * P, :]
+        at = at_ref[0, lvl * P:(lvl + 1) * P, :]
+        entries = _level_entries(lx, ly, at, h, w)
         start_t = ranges_ref[0, 0, lvl, 0]
         num_t = ranges_ref[0, 0, lvl, 1]
 
-        def body(t, acc, lvl=lvl):
+        def body(t, accs, lvl=lvl, entries=entries):
+            acc_e, acc_o = accs
             s0 = pl.multiple_of((start_t + t) * s_tile, s_tile)
             vte = ve_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
             vto = vo_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
-            _build_wt_tiles(we_ref, wo_ref, idx_ref, wt_ref,
-                            rows0 + s0.astype(idt), lvl, K)
-            # outᵀ[d, q] += Σ_m vᵀ[d, m] · Wᵀ[m, q] — full-lane N = Qt
-            acc = acc + jax.lax.dot_general(
+            cols = rows0 + s0.astype(jnp.float32)
+            we_ref[:] = jnp.zeros_like(we_ref)
+            wo_ref[:] = jnp.zeros_like(wo_ref)
+            zero = jnp.zeros((), we_ref.dtype)
+            for ide, wte, ido, wto in entries:
+                for p in range(P):
+                    we_ref[:] += jnp.where(ide[p:p + 1, :] == cols,
+                                           wte[p:p + 1, :], zero)
+                    wo_ref[:] += jnp.where(ido[p:p + 1, :] == cols,
+                                           wto[p:p + 1, :], zero)
+            acc_e = acc_e + jax.lax.dot_general(
                 vte.astype(acc_dtype), we_ref[:].astype(acc_dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            return acc + jax.lax.dot_general(
+            acc_o = acc_o + jax.lax.dot_general(
                 vto.astype(acc_dtype), wo_ref[:].astype(acc_dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            return acc_e, acc_o
 
-        acc = jax.lax.fori_loop(0, num_t, body, acc)
-    out_ref[0] = acc.astype(out_ref.dtype)
+        acc_e, acc_o = jax.lax.fori_loop(0, num_t, body, (acc_e, acc_o))
+    out_ref[0] = (acc_e + acc_o).astype(out_ref.dtype)
 
 
 def _bwd_kernel(ranges_ref, ve_ref, vo_ref, idx_ref, wt_ref, g_ref,
@@ -306,27 +398,35 @@ def _common_specs(q_tile, L, K, S_pad, D, groups: int = 1):
     return ranges_spec, value_spec, value_spec, idx_spec, idx_spec
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
-def _fwd_call(spatial_shapes: Shapes, value_e, value_o, idx, wt, ranges,
-              q_tile: int, s_tile: int, groups: int = 1):
+@functools.partial(jax.jit, static_argnums=(0, 7, 8, 9))
+def _fwd_call_fused(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
+                    ranges, q_tile: int, s_tile: int, groups: int = 1):
     """value_e/value_o: (B·M, S_pad, D) parity-packed;
-    idx/wt: (B·M·G, L·K, q_pad)."""
+    lx/ly/at: (B·M·G, L·P, q_pad) raw location/attention rows."""
     BM, S_pad, D = value_e.shape
-    BMG = idx.shape[0]
-    LK, q_pad = idx.shape[1], idx.shape[2]
+    BMG = lx.shape[0]
+    LP, q_pad = lx.shape[1], lx.shape[2]
     L = ranges.shape[2]
-    K = LK // L
+    P = LP // L
     level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
     acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
         else jnp.float32
-    r_spec, ve_spec, vo_spec, i_spec, w_spec = _common_specs(
-        q_tile, L, K, S_pad, D, groups)
-    kernel = functools.partial(_fwd_kernel, level_starts=level_starts,
-                               s_tile=s_tile, K=K, acc_dtype=acc_dtype)
+    ranges_spec = pl.BlockSpec((1, 1, L, 2), lambda bm, qt: (bm, qt, 0, 0),
+                               memory_space=pltpu.SMEM)
+    value_spec = pl.BlockSpec((1, S_pad, D),
+                              lambda bm, qt: (bm // groups, 0, 0),
+                              memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, LP, q_tile), lambda bm, qt: (bm, 0, qt),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_fwd_kernel_fused,
+                               spatial_shapes=spatial_shapes,
+                               level_starts=level_starts,
+                               s_tile=s_tile, P=P, acc_dtype=acc_dtype)
     return pl.pallas_call(
         kernel,
         grid=(BMG, q_pad // q_tile),
-        in_specs=[r_spec, ve_spec, vo_spec, i_spec, w_spec],
+        in_specs=[ranges_spec, value_spec, value_spec,
+                  row_spec, row_spec, row_spec],
         out_specs=pl.BlockSpec((1, D, q_tile), lambda bm, qt: (bm, 0, qt),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BMG, D, q_pad), value_e.dtype),
@@ -335,7 +435,7 @@ def _fwd_call(spatial_shapes: Shapes, value_e, value_o, idx, wt, ranges,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(ranges, value_e, value_o, idx, wt)
+    )(ranges, value_e, value_o, lx, ly, at)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9))
@@ -467,13 +567,26 @@ def ms_deform_attn_pallas(value, spatial_shapes: Shapes, sampling_locations,
 def _fwd_res(value, spatial_shapes, loc, att, q_tile=None):
     q_tile = q_tile or Q_TILE
     B, S, M, D = value.shape
-    Q = loc.shape[1]
-    MG = loc.shape[2]
+    _, Q, MG, L, P, _ = loc.shape
     groups = MG // M
-    value_e, value_o, idx, wt, ranges, L, K, q_pad = _prep(
-        value, spatial_shapes, loc, att, q_tile, S_TILE)
-    out_bm = _fwd_call(spatial_shapes, value_e, value_o, idx, wt, ranges,
-                       q_tile, S_TILE, groups)
+    q_pad = _round_up(Q, q_tile)
+    ranges = _loc_ranges(loc, att, spatial_shapes, q_tile, S_TILE, q_pad)
+    # Raw location/attention rows in kernel layout — taps are generated
+    # in-kernel (8/3 less operand traffic than pre-expanded idx/wt).
+    locf = loc.astype(jnp.float32)
+    lx = jnp.transpose(locf[..., 0], (0, 2, 3, 4, 1)).reshape(B * MG, L * P, Q)
+    ly = jnp.transpose(locf[..., 1], (0, 2, 3, 4, 1)).reshape(B * MG, L * P, Q)
+    at = jnp.transpose(att.astype(jnp.float32),
+                       (0, 2, 3, 4, 1)).reshape(B * MG, L * P, Q)
+    if q_pad != Q:
+        qp = ((0, 0), (0, 0), (0, q_pad - Q))
+        lx = jnp.pad(lx, qp, constant_values=-10.0)   # OOB → all weights 0
+        ly = jnp.pad(ly, qp, constant_values=-10.0)
+        at = jnp.pad(at, qp)
+    value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
+    value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
+    out_bm = _fwd_call_fused(spatial_shapes, value_e, value_o, lx, ly, at,
+                             ranges, q_tile, S_TILE, groups)
     out = out_bm.reshape(B, MG, D, q_pad)[..., :Q]
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(B, Q, MG * D)
     return out.astype(value.dtype), (value, loc, att)
