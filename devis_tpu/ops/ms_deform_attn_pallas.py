@@ -277,7 +277,9 @@ def _fwd_kernel_fused(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
     XLA-side tap fusion/transpose/pad chain."""
     D = out_ref.shape[1]
     Qt = out_ref.shape[2]
-    rows0 = jax.lax.broadcasted_iota(jnp.float32, (s_tile, Qt), 0)
+    # hardware iota is integer-only; build i32 then convert to f32
+    rows0 = jax.lax.broadcasted_iota(
+        jnp.int32, (s_tile, Qt), 0).astype(jnp.float32)
     acc_e = jnp.zeros((D, Qt), jnp.float32)
     acc_o = jnp.zeros((D, Qt), jnp.float32)
 
