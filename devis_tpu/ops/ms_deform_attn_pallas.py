@@ -74,11 +74,12 @@ def _level_starts(spatial_shapes: Shapes):
 
 def _padded_level_starts(spatial_shapes: Shapes, s_tile: int):
     """Level starts in PACKED (row-pair) space when every level is padded to
-    an s_tile multiple — keeps all kernel value-slices statically
-    s_tile-aligned. Packed level size = ceil(h·w / 2)."""
+    an s_tile multiple PLUS one extra zero s_tile — forward windows start at
+    the 8-aligned span minimum and may overrun the level end by < s_tile.
+    Packed level size = ceil(h·w / 2)."""
     starts = [0]
     for h, w in spatial_shapes:
-        starts.append(starts[-1] + _round_up(-(-h * w // 2), s_tile))
+        starts.append(starts[-1] + _round_up(-(-h * w // 2), s_tile) + s_tile)
     return tuple(starts[:-1]), starts[-1]
 
 
@@ -185,14 +186,19 @@ def _loc_ranges(loc, att, spatial_shapes: Shapes, q_tile: int, s_tile: int,
         hi = jnp.pad(hi, ((0, 0), (0, pad)) + ((0, 0),) * 3,
                      constant_values=-1.0)
     nqt = q_pad // q_tile
-    # (B, q_pad, MG, L, P) → (B·MG, nqt, L)
+    # (B, q_pad, MG, L, P) → (B·MG, nqt, L): [window_base, window_count].
+    # The s-window starts at the 8-aligned span minimum rather than at an
+    # s_tile multiple, so a span ≤ s_tile−7 costs ONE matmul window — the
+    # matmul is weight-load-bound, so windows ∝ time. (Each level's packed
+    # value buffer carries one extra zero s_tile so windows may overrun.)
     lo = jnp.transpose(lo, (0, 2, 1, 3, 4)).reshape(B * MG, nqt, q_tile, L, P)
     hi = jnp.transpose(hi, (0, 2, 1, 3, 4)).reshape(B * MG, nqt, q_tile, L, P)
     mn = jnp.min(lo, axis=(2, 4)).astype(jnp.int32)
     mx = jnp.max(hi, axis=(2, 4)).astype(jnp.int32)
-    start = jnp.where(mx >= 0, mn // s_tile, 0).astype(jnp.int32)
-    count = jnp.where(mx >= 0, mx // s_tile + 1 - mn // s_tile, 0)
-    return jnp.stack([start, count.astype(jnp.int32)], axis=-1)
+    base = (mn // 8) * 8
+    count = jnp.where(mx >= 0, (mx - base) // s_tile + 1, 0)
+    return jnp.stack([jnp.where(mx >= 0, base, 0),
+                      count.astype(jnp.int32)], axis=-1)
 
 
 def _tile_ranges(idx, wt, spatial_shapes: Shapes, q_tile: int, s_tile: int,
@@ -288,12 +294,12 @@ def _fwd_kernel_fused(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
         ly = ly_ref[0, lvl * P:(lvl + 1) * P, :]
         at = at_ref[0, lvl * P:(lvl + 1) * P, :]
         entries = _level_entries(lx, ly, at, h, w)
-        start_t = ranges_ref[0, 0, lvl, 0]
+        base_w = ranges_ref[0, 0, lvl, 0]          # 8-aligned window base
         num_t = ranges_ref[0, 0, lvl, 1]
 
-        def body(t, accs, lvl=lvl, entries=entries):
+        def body(t, accs, lvl=lvl, entries=entries, base_w=base_w):
             acc_e, acc_o = accs
-            s0 = pl.multiple_of((start_t + t) * s_tile, s_tile)
+            s0 = pl.multiple_of(base_w + t * s_tile, 8)
             vte = ve_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
             vto = vo_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
             cols = rows0 + s0.astype(jnp.float32)
@@ -504,7 +510,7 @@ def _pack_levels(value_bm, spatial_shapes: Shapes, s_tile: int):
         n2 = -(-n // 2)
         seg = jax.lax.slice_in_dim(value_bm, starts[lvl], starts[lvl] + n,
                                    axis=1)
-        pad_rows = _round_up(n2, s_tile) * 2 - n
+        pad_rows = (_round_up(n2, s_tile) + s_tile) * 2 - n
         seg = jnp.pad(seg, ((0, 0), (0, pad_rows), (0, 0)))
         seg = seg.reshape(BM, -1, 2, D)
         evens.append(seg[:, :, 0])
@@ -562,12 +568,14 @@ def ms_deform_attn_pallas(value, spatial_shapes: Shapes, sampling_locations,
     q_tile=0 → the default Q_TILE; callers with very large query counts per
     batch item (deformable conv) pass a bigger tile to cut grid steps."""
     out, _ = _fwd_res(value, spatial_shapes, sampling_locations,
-                      attention_weights, q_tile or Q_TILE)
+                      attention_weights, q_tile or None)
     return out
 
 
 def _fwd_res(value, spatial_shapes, loc, att, q_tile=None):
-    q_tile = q_tile or Q_TILE
+    # Small query counts (decoder: 60/frame) waste lanes on a 256 q-tile;
+    # round down to one 128-query tile when everything fits.
+    q_tile = q_tile or (128 if loc.shape[1] <= 128 else Q_TILE)
     B, S, M, D = value.shape
     _, Q, MG, L, P, _ = loc.shape
     groups = MG // M
@@ -595,12 +603,12 @@ def _fwd_res(value, spatial_shapes, loc, att, q_tile=None):
 
 
 def _fwd_fwd(value, spatial_shapes, loc, att, q_tile: int = 0):
-    return _fwd_res(value, spatial_shapes, loc, att, q_tile or Q_TILE)
+    return _fwd_res(value, spatial_shapes, loc, att, q_tile or None)
 
 
 def _fwd_bwd(spatial_shapes, q_tile, res, g):
-    q_tile = q_tile or Q_TILE
     value, loc, att = res
+    q_tile = q_tile or (128 if loc.shape[1] <= 128 else Q_TILE)
     B, S, M, D = value.shape
     Q = loc.shape[1]
     MG = loc.shape[2]
