@@ -149,52 +149,36 @@ def _taps(spatial_shapes: Shapes, loc, att):
             jnp.transpose(wt, (0, 2, 1, 3, 4)))
 
 
-def _loc_ranges(loc, att, spatial_shapes: Shapes, q_tile: int, s_tile: int,
-                q_pad: int):
-    """Per (b·m, q-tile, level) PACKED s-tile [start, count] computed directly
-    from sampling locations (no materialized tap indices — the forward kernel
-    generates taps in-kernel).
+def _row_ranges(lx, ly, spatial_shapes: Shapes, q_tile: int, s_tile: int,
+                P: int):
+    """Per (b·m, q-tile, level) packed s-window [base, count] computed from
+    the kernel-layout location rows (B·MG, L·P, q_pad) — no materialized tap
+    indices; the forward kernel generates taps in-kernel.
 
-    loc: (B, Q, MG, L, P, 2); att: unused except shape. A point contributes
-    iff its 2×2 tap square intersects the level; the bound uses
-    min/max of the clipped tap rows/cols (a superset of the live entries,
-    exact coverage for any offsets)."""
-    B, Q, MG, L, P, _ = loc.shape
-    del att
-    lows, highs = [], []
+    A point contributes iff its 2×2 tap square intersects the level; the
+    bound uses min/max of the clipped tap rows/cols (a superset of the live
+    entries, exact coverage for any offsets). The window base is 8-aligned so
+    a span ≤ s_tile−7 costs one matmul window (each level's packed value
+    buffer carries one extra zero s_tile for overrun)."""
+    BMG, LP, q_pad = lx.shape
+    L = LP // P
+    nqt = q_pad // q_tile
+    mns, mxs = [], []
     for lvl, (h, w) in enumerate(spatial_shapes):
-        x = loc[:, :, :, lvl, :, 0].astype(jnp.float32) * w - 0.5
-        y = loc[:, :, :, lvl, :, 1].astype(jnp.float32) * h - 0.5
+        x = lx[:, lvl * P:(lvl + 1) * P].reshape(BMG, P, nqt, q_tile) * w - 0.5
+        y = ly[:, lvl * P:(lvl + 1) * P].reshape(BMG, P, nqt, q_tile) * h - 0.5
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
         valid = (x > -1) & (x < w) & (y > -1) & (y < h)
-        xlo = jnp.clip(x0, 0, w - 1)
-        xhi = jnp.clip(x0 + 1, 0, w - 1)
-        ylo = jnp.clip(y0, 0, h - 1)
-        yhi = jnp.clip(y0 + 1, 0, h - 1)
-        lo = jnp.floor((ylo * w + xlo) * 0.5)
-        hi = jnp.floor((yhi * w + xhi) * 0.5)
+        lo = jnp.floor((jnp.clip(y0, 0, h - 1) * w
+                        + jnp.clip(x0, 0, w - 1)) * 0.5)
+        hi = jnp.floor((jnp.clip(y0 + 1, 0, h - 1) * w
+                        + jnp.clip(x0 + 1, 0, w - 1)) * 0.5)
         big = jnp.float32(1 << 30)
-        lows.append(jnp.where(valid, lo, big))        # (B, Q, MG, P)
-        highs.append(jnp.where(valid, hi, -1.0))
-    lo = jnp.stack(lows, axis=3)                      # (B, Q, MG, L, P)
-    hi = jnp.stack(highs, axis=3)
-    pad = q_pad - Q
-    if pad:
-        lo = jnp.pad(lo, ((0, 0), (0, pad)) + ((0, 0),) * 3,
-                     constant_values=float(1 << 30))
-        hi = jnp.pad(hi, ((0, 0), (0, pad)) + ((0, 0),) * 3,
-                     constant_values=-1.0)
-    nqt = q_pad // q_tile
-    # (B, q_pad, MG, L, P) → (B·MG, nqt, L): [window_base, window_count].
-    # The s-window starts at the 8-aligned span minimum rather than at an
-    # s_tile multiple, so a span ≤ s_tile−7 costs ONE matmul window — the
-    # matmul is weight-load-bound, so windows ∝ time. (Each level's packed
-    # value buffer carries one extra zero s_tile so windows may overrun.)
-    lo = jnp.transpose(lo, (0, 2, 1, 3, 4)).reshape(B * MG, nqt, q_tile, L, P)
-    hi = jnp.transpose(hi, (0, 2, 1, 3, 4)).reshape(B * MG, nqt, q_tile, L, P)
-    mn = jnp.min(lo, axis=(2, 4)).astype(jnp.int32)
-    mx = jnp.max(hi, axis=(2, 4)).astype(jnp.int32)
+        mns.append(jnp.min(jnp.where(valid, lo, big), axis=(1, 3)))
+        mxs.append(jnp.max(jnp.where(valid, hi, -1.0), axis=(1, 3)))
+    mn = jnp.stack(mns, axis=-1).astype(jnp.int32)       # (BMG, nqt, L)
+    mx = jnp.stack(mxs, axis=-1).astype(jnp.int32)
     base = (mn // 8) * 8
     count = jnp.where(mx >= 0, (mx - base) // s_tile + 1, 0)
     return jnp.stack([jnp.where(mx >= 0, base, 0),
@@ -580,7 +564,6 @@ def _fwd_res(value, spatial_shapes, loc, att, q_tile=None):
     _, Q, MG, L, P, _ = loc.shape
     groups = MG // M
     q_pad = _round_up(Q, q_tile)
-    ranges = _loc_ranges(loc, att, spatial_shapes, q_tile, S_TILE, q_pad)
     # Raw location/attention rows in kernel layout — taps are generated
     # in-kernel (8/3 less operand traffic than pre-expanded idx/wt).
     locf = loc.astype(jnp.float32)
@@ -593,6 +576,7 @@ def _fwd_res(value, spatial_shapes, loc, att, q_tile=None):
         lx = jnp.pad(lx, qp, constant_values=-10.0)   # OOB → all weights 0
         ly = jnp.pad(ly, qp, constant_values=-10.0)
         at = jnp.pad(at, qp)
+    ranges = _row_ranges(lx, ly, spatial_shapes, q_tile, S_TILE, P)
     value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
     value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
     out_bm = _fwd_call_fused(spatial_shapes, value_e, value_o, lx, ly, at,
