@@ -24,23 +24,33 @@ tile built by comparing the packed index m = i >> 1 against half-height
 columns. Same matmul FLOPs (two half-tiles instead of one), half the VPU
 compares per unit of spatial coverage — and the build dominates.
 
-Layout choices (Mosaic constraints):
-  * tap indices/weights live as (B·M, L·K, Q): the tap axis sits on
-    sublanes so the statically-unrolled tap loop reads single sublanes
-    (dynamic lane offsets would need 128-alignment);
-  * the weight tile is built transposed, Wᵀ (s_tile, q_tile), accumulated in
-    a VMEM scratch ref (bounds live temporaries) — both matmuls consume it
-    without relayout: out = Wᵀᵀ@v via dot_general, grad_value = Wᵀ@g;
-  * every level is padded to an s_tile multiple in the packed value buffer,
-    so value slices are statically s_tile-aligned.
+Forward-path layout (all chosen against measured device-time sweeps — see
+docs/PERFORMANCE.md):
+  * **In-kernel tap generation**: the kernel consumes raw location/attention
+    rows (B·M·G, L·P, q_pad) — queries on lanes, (level, point) on sublanes —
+    and derives the parity-routed packed tap entries per level with static
+    (h, w) immediates in f32 (integer-exact below 2²³). This removes the
+    XLA-side tap fusion / transpose / pad chain per call (8/3 less operand
+    traffic than pre-expanded idx/wt).
+  * **Window-aligned s-tiles**: per (q-tile, level) the s-window starts at
+    the 8-aligned span minimum (`_row_ranges`), not at an s_tile multiple;
+    each level's packed value buffer carries one extra zero s_tile so
+    windows may overrun. The matmul cost is weight-load bound (W elements /
+    128 per cycle), so windows ∝ time.
+  * The weight tile is built transposed, Wᵀ (s_tile, q_tile), in VMEM
+    scratch; the accumulation is outᵀ = vᵀ·Wᵀ (full-lane N = q_tile), with
+    one accumulator per parity class to keep the two matmul chains
+    independent.
 
-The backward pass reuses the same Wᵀ tiles (custom VJP below):
+The backward pass (custom VJP below) keeps the materialized-tap route:
+`_taps` produces parity-routed packed idx/wt as (B·M, L·K, q_pad), and
     grad_value[s]  = Σ_q W[q, s] · g[q]          (Wᵀ @ g — a matmul,
                                                   deterministic scatter-free)
     grad_wt[q, k]  = g[q] · value[idx[q, k]]     (extracted from v @ gᵀ with
                                                   the same compares)
-and the chain rule from per-tap weights back to attention weights / sampling
-locations is cheap elementwise XLA (`_taps` is differentiable).
+with the chain rule from per-tap weights back to attention weights / sampling
+locations as cheap elementwise XLA (`_taps` is differentiable). Moving the
+backward to in-kernel taps as well is a known follow-up.
 
 Reference semantics being reproduced: the CUDA forward
 `/root/reference/src/models/ops/src/cuda/ms_deform_im2col_cuda.cuh:238` and
