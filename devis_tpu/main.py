@@ -124,10 +124,16 @@ def main(argv=None):
     T = cfg.MODEL.DEVIS.NUM_FRAMES if is_vis else 1
     dummy_imgs = jnp.zeros((T if is_vis else 2, 64, 64, 3), jnp.float32)
     dummy_mask = jnp.zeros(dummy_imgs.shape[:3], bool)
-    variables = jax.jit(model.init, static_argnames=("train",),
-                        backend="cpu")(jax.random.PRNGKey(cfg.SEED),
-                                       dummy_imgs, dummy_mask, train=False)
+    from .ops.ms_deform_attn import force_xla_ops
+    with force_xla_ops():      # CPU-lowered trace must not touch Pallas
+        variables = jax.jit(model.init, static_argnames=("train",),
+                            backend="cpu")(jax.random.PRNGKey(cfg.SEED),
+                                           dummy_imgs, dummy_mask, train=False)
     variables = load_initial_weights(cfg, model, variables)
+    # The CPU-side init leaves the params CPU-committed, and jit follows
+    # committed inputs — move them to the default (accelerator) device so
+    # every downstream forward runs there.
+    variables = jax.device_put(variables, jax.devices()[0])
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables))
     print(f"model: {cfg.MODEL.BACKBONE} | params {n_params / 1e6:.1f}M "
           f"| devices {jax.device_count()}")

@@ -230,6 +230,12 @@ class TemporalMSDeformAttnEncoder(TemporalMSDeformAttnBase):
         assert reference_points.shape[-1] == 2
         T = self.n_frames
         W = T - 1 if self.connect_all else self.t_window
+        from ..ops.ms_deform_attn import resolve_impl
+        impl = resolve_impl(self.impl)
+        if self.n_curr_points == self.n_temporal_points and impl == "pallas":
+            return self._fused_rows(query, reference_points, input_flatten,
+                                    spatial_shapes, padding_mask, W)
+
         value, c_off, t_off, att_c, att_t = self._projections(
             query, input_flatten, padding_mask)
 
@@ -253,13 +259,105 @@ class TemporalMSDeformAttnEncoder(TemporalMSDeformAttnBase):
             fused = ms_deform_attn(
                 fused_value, tuple(spatial_shapes) + t_shapes,
                 jnp.concatenate([loc_c, loc_t], axis=3),
-                jnp.concatenate([att_c, att_t], axis=3), impl=self.impl)
+                jnp.concatenate([att_c, att_t], axis=3), impl=impl)
             return self._output(fused)
 
-        out_c = ms_deform_attn(value, spatial_shapes, loc_c, att_c,
-                               impl=self.impl)
-        out_t = ms_deform_attn(t_value, t_shapes, loc_t, att_t, impl=self.impl)
+        out_c = ms_deform_attn(value, spatial_shapes, loc_c, att_c, impl=impl)
+        out_t = ms_deform_attn(t_value, t_shapes, loc_t, att_t, impl=impl)
         return self._output(out_c + out_t)
+
+    def _fused_rows(self, query, reference_points, input_flatten,
+                    spatial_shapes, padding_mask, W):
+        """Fused current+temporal attention with the sampling-location rows
+        built directly in kernel layout: the offset/attention projections are
+        transposed ONCE (T, C, Q) right after their Dense layers and every
+        subsequent step (joint softmax, reference-point add, level
+        normalization) runs in transposed space — no q-major loc/att
+        materialization or per-call transpose chain (the dominant per-layer
+        XLA glue; see docs/PERFORMANCE.md)."""
+        from ..ops.ms_deform_attn_pallas import (Q_TILE, _round_up,
+                                                 ms_deform_attn_rows_auto)
+        T, Q, _ = query.shape
+        S = input_flatten.shape[1]
+        M, L = self.n_heads, self.n_levels
+        P = self.n_curr_points
+        D = self.d_model // M
+        spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+
+        value = nn.Dense(self.d_model, dtype=self.dtype,
+                         name="value_proj")(input_flatten)
+        if padding_mask is not None:
+            value = jnp.where(padding_mask[..., None], 0.0, value)
+        value = value.reshape(T, S, M, D)
+        frame_index = _temporal_frame_index(T, self.t_window, self.connect_all)
+        t_value = self.stack_temporal_values(value, frame_index)
+        fused_value = jnp.concatenate([value, t_value], axis=1)
+        t_shapes = make_temporal_shapes(spatial_shapes, W)
+        fused_shapes = spatial_shapes + t_shapes
+
+        c_off = nn.Dense(M * L * P * 2, kernel_init=nn.initializers.zeros,
+                         bias_init=_np_init(sampling_offsets_bias_init(M, L, P)),
+                         dtype=self.dtype, name="sampling_offsets")(query)
+        t_off = nn.Dense(
+            M * L * W * P * 2, kernel_init=nn.initializers.zeros,
+            bias_init=_np_init(temporal_sampling_offsets_bias_init(M, L, W, P)),
+            dtype=self.dtype, name="temporal_sampling_offsets")(query)
+        c_att = nn.Dense(M * L * P, kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros, dtype=self.dtype,
+                         name="attention_weights")(query)
+        t_att = nn.Dense(M * L * W * P, kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros, dtype=self.dtype,
+                         name="temporal_attention_weights")(query)
+
+        # ONE transpose per projection, then stay in (channels, Q) space.
+        f32 = jnp.float32
+        c_off = jnp.transpose(c_off, (0, 2, 1)).astype(f32) \
+            .reshape(T, M, L, P, 2, Q)
+        # Runtime stacked-level layout is frame-major: (W, L) — mirrors the
+        # q-major `_projections` reshape exactly.
+        t_off = jnp.transpose(t_off, (0, 2, 1)).astype(f32) \
+            .reshape(T, M, W, L, P, 2, Q).reshape(T, M, W * L, P, 2, Q)
+        c_att_t = jnp.transpose(c_att, (0, 2, 1)).reshape(T, M, L * P, Q)
+        t_att_t = jnp.transpose(t_att, (0, 2, 1)).reshape(T, M, W * L * P, Q)
+        # Joint softmax over current + temporal logits (reference L247-254).
+        joint = jax.nn.softmax(
+            jnp.concatenate([c_att_t, t_att_t], axis=2).astype(f32), axis=2)
+
+        # Sampling locations: ref + off / (W_l, H_l) per level (2-dim refs).
+        rx = jnp.transpose(reference_points[..., 0], (0, 2, 1)).astype(f32)
+        ry = jnp.transpose(reference_points[..., 1], (0, 2, 1)).astype(f32)
+        wn = np.asarray([w for _, w in spatial_shapes], np.float32)
+        hn = np.asarray([h for h, _ in spatial_shapes], np.float32)
+        lx_c = rx[:, None, :, None] + c_off[..., 0, :] / wn[None, None, :,
+                                                           None, None]
+        ly_c = ry[:, None, :, None] + c_off[..., 1, :] / hn[None, None, :,
+                                                            None, None]
+        wn_t = np.tile(wn, W)
+        hn_t = np.tile(hn, W)
+        # Temporal reference point = level-0 reference point (reference L447).
+        lx_t = rx[:, None, 0:1, None] + t_off[..., 0, :] / wn_t[None, None, :,
+                                                                None, None]
+        ly_t = ry[:, None, 0:1, None] + t_off[..., 1, :] / hn_t[None, None, :,
+                                                                None, None]
+
+        Lf = L + W * L
+        lx = jnp.concatenate([lx_c.reshape(T, M, L * P, Q),
+                              lx_t.reshape(T, M, W * L * P, Q)],
+                             axis=2).reshape(T * M, Lf * P, Q)
+        ly = jnp.concatenate([ly_c.reshape(T, M, L * P, Q),
+                              ly_t.reshape(T, M, W * L * P, Q)],
+                             axis=2).reshape(T * M, Lf * P, Q)
+        at = joint.reshape(T * M, Lf * P, Q)
+
+        q_tile = 128 if Q <= 128 else Q_TILE
+        q_pad = _round_up(Q, q_tile)
+        if q_pad != Q:
+            qp = ((0, 0), (0, 0), (0, q_pad - Q))
+            lx = jnp.pad(lx, qp, constant_values=-10.0)
+            ly = jnp.pad(ly, qp, constant_values=-10.0)
+            at = jnp.pad(at, qp)
+        out = ms_deform_attn_rows_auto(fused_value, fused_shapes, lx, ly, at, Q)
+        return self._output(out)
 
 
 class TemporalMSDeformAttnDecoder(TemporalMSDeformAttnBase):

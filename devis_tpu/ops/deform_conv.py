@@ -10,10 +10,11 @@ base_grid + kernel_offset + learned_offset, zero padding outside).
 Offset channel layout matches torch: (2*K*K) ordered (y, x) per kernel
 position, row-major kernel positions.
 
-Two backends: the Pallas MSDA kernel with grouped heads (TPU), and a plain
-jnp-gather path (CPU tests / fallback) whose K*K positions are accumulated in
-an unrolled loop — an im2col (B, H, W, K*K, Cin) buffer at mask-head shapes
-is ~6 GB and blew HBM; per-tap accumulation peaks at (B, H, W, Cin).
+Two backends: the Pallas MSDA kernel with the channel mix folded BEFORE the
+gather (TPU; see `_deform_conv2d_pallas`), and a plain jnp-gather path (CPU
+tests / fallback) whose K*K positions are accumulated in an unrolled loop —
+an im2col (B, H, W, K*K, Cin) buffer at mask-head shapes is ~6 GB and blew
+HBM; per-tap accumulation peaks at (B, H, W, Cin).
 """
 from __future__ import annotations
 
@@ -26,8 +27,8 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   padding: int = 1, impl: str = "auto") -> jnp.ndarray:
     """Dispatch: the Pallas one-hot-matmul sampler on TPU (XLA's row-gather
     is serial there), plain jnp gathers elsewhere."""
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    from .ms_deform_attn import resolve_impl
+    impl = resolve_impl(impl)
     if impl == "pallas":
         # Rematerialize in the backward pass: the per-position gathered maps
         # are (B·K², HW, Cin) with a small minor dim that XLA tile-pads up to

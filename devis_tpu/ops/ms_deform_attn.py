@@ -35,6 +35,7 @@ extra pyramid levels (the reference's level-stacking trick,
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Sequence, Tuple
 
@@ -56,6 +57,36 @@ def level_start_index(spatial_shapes: Shapes) -> Tuple[int, ...]:
     return tuple(starts)
 
 
+_FORCE_XLA = False
+
+
+@contextlib.contextmanager
+def force_xla_ops():
+    """Resolve every `impl='auto'` op dispatch to the XLA backend while
+    active. Needed when tracing for a non-default device (e.g. parameter
+    init jitted onto CPU while the default backend is TPU): the Pallas
+    kernels pick interpret mode from the DEFAULT backend at trace time, so
+    they must be bypassed when the computation is lowered for CPU."""
+    global _FORCE_XLA
+    prev = _FORCE_XLA
+    _FORCE_XLA = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA = prev
+
+
+def resolve_impl(impl: str) -> str:
+    """'auto' → the Pallas kernel on TPU (XLA's serial row-gather is the
+    model bottleneck there), plain XLA gathers elsewhere or under
+    `force_xla_ops`."""
+    if impl != "auto":
+        return impl
+    if _FORCE_XLA or jax.default_backend() != "tpu":
+        return "xla"
+    return "pallas"
+
+
 def ms_deform_attn(value: jnp.ndarray,
                    spatial_shapes,
                    sampling_locations: jnp.ndarray,
@@ -63,14 +94,12 @@ def ms_deform_attn(value: jnp.ndarray,
                    impl: str = "auto") -> jnp.ndarray:
     """Multi-scale deformable attention. See module docstring for semantics."""
     spatial_shapes = normalize_shapes(spatial_shapes)
-    if impl == "auto":
-        # Pallas one-hot-matmul kernel on TPU (XLA's serial row-gather is the
-        # model bottleneck there); plain XLA gathers elsewhere (CPU tests).
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    impl = resolve_impl(impl)
     if impl == "pallas":
-        from .ms_deform_attn_pallas import ms_deform_attn_pallas
-        return ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
-                                     attention_weights)
+        from .ms_deform_attn_pallas import ms_deform_attn_pallas_auto
+        return ms_deform_attn_pallas_auto(value, spatial_shapes,
+                                          sampling_locations,
+                                          attention_weights)
     return _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
                                attention_weights)
 

@@ -626,3 +626,216 @@ def _fwd_bwd(spatial_shapes, q_tile, res, g):
 
 
 ms_deform_attn_pallas.defvjp(_fwd_fwd, _fwd_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Rows-form op: sampling locations already in kernel layout
+# ---------------------------------------------------------------------------
+
+def _taps_rows(spatial_shapes: Shapes, lx, ly, at):
+    """`_taps` in rows layout: from (B·MG, L·P, q_pad) location/attention
+    rows to parity-routed packed entries (B·MG, L·P·4, q_pad) — all
+    elementwise in place (no q-major materialization or transpose).
+
+    Entry order matches `_taps`: per point (e_top, o_top, e_bot, o_bot),
+    class = k & 1. Indices are f32 (integer-exact below 2²³) with the
+    unclipped convention; weights carry the validity masks.
+    Differentiable wrt lx/ly/at (indices use stop_gradient)."""
+    BMG, LP, q_pad = lx.shape
+    L = len(spatial_shapes)
+    P = LP // L
+    idxs, wts = [], []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        hf, wf = float(h), float(w)
+        x = lx[:, lvl * P:(lvl + 1) * P].astype(jnp.float32) * wf - 0.5
+        y = ly[:, lvl * P:(lvl + 1) * P].astype(jnp.float32) * hf - 0.5
+        a = at[:, lvl * P:(lvl + 1) * P].astype(jnp.float32)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        dx = x - jax.lax.stop_gradient(x0)
+        dy = y - jax.lax.stop_gradient(y0)
+        x0 = jax.lax.stop_gradient(x0)
+        y0 = jax.lax.stop_gradient(y0)
+        one = jnp.float32(1.0)
+        vx0 = (x0 >= 0) & (x0 <= wf - 1)
+        vx1 = (x0 >= -1) & (x0 <= wf - 2)
+        lvl_idx, lvl_wt = [], []
+        for y_row, wy in ((y0, (1 - dy)), (y0 + 1, dy)):
+            vy = (y_row >= 0) & (y_row <= hf - 1)
+            wl = wy * (1 - dx) * a * jnp.where(vy & vx0, one, 0.0)
+            wr = wy * dx * a * jnp.where(vy & vx1, one, 0.0)
+            base = y_row * wf + x0
+            m_l = jnp.floor(base * 0.5)
+            m_r = jnp.floor((base + 1) * 0.5)
+            even = (base - 2.0 * m_l) == 0
+            lvl_idx += [jnp.where(even, m_l, m_r), jnp.where(even, m_r, m_l)]
+            lvl_wt += [jnp.where(even, wl, wr), jnp.where(even, wr, wl)]
+        # (BMG, P, 4, q_pad) → (BMG, P·4, q_pad), row-major (p, entry)
+        idxs.append(jnp.stack(lvl_idx, axis=2).reshape(BMG, P * 4, q_pad))
+        wts.append(jnp.stack(lvl_wt, axis=2).reshape(BMG, P * 4, q_pad))
+    return jnp.concatenate(idxs, axis=1), jnp.concatenate(wts, axis=1)
+
+
+def _rows_tile_ranges(idx, wt, L: int, q_tile: int, s_tile: int):
+    """Tile-aligned [start, count] per (bm, q-tile, level) from rows-form
+    packed entries — the backward kernel's range contract."""
+    BMG, LK, q_pad = idx.shape
+    K = LK // L
+    nqt = q_pad // q_tile
+    idx_r = idx.reshape(BMG, L, K, nqt, q_tile)
+    live = wt.reshape(BMG, L, K, nqt, q_tile) != 0.0
+    big = jnp.float32(1 << 30)
+    lo = jnp.min(jnp.where(live, idx_r, big), axis=(2, 4))   # (BMG, L, nqt)
+    hi = jnp.max(jnp.where(live, idx_r, -1.0), axis=(2, 4))
+    lo = jnp.transpose(lo, (0, 2, 1)).astype(jnp.int32)      # (BMG, nqt, L)
+    hi = jnp.transpose(hi, (0, 2, 1)).astype(jnp.int32)
+    start = jnp.where(hi >= 0, lo // s_tile, 0)
+    count = jnp.where(hi >= 0, hi // s_tile + 1 - lo // s_tile, 0)
+    return jnp.stack([start, count], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6))
+def ms_deform_attn_rows(value, spatial_shapes: Shapes, lx, ly, at,
+                        n_queries: int, q_tile: int = 0):
+    """Rows-form multi-scale deformable attention.
+
+    value: (B, S, M, D); lx/ly/at: (B·M·G, L·P, q_pad) sampling-location /
+    attention rows in kernel layout (queries on lanes, padded queries must
+    carry an out-of-range location and zero attention). Returns
+    (B, n_queries, M·G·D). Same semantics as `ms_deform_attn_pallas` with the
+    q-major transposes lifted to the caller — attention modules that build
+    their projections in transposed layout skip the per-call loc/att
+    materialization entirely."""
+    out, _ = _rows_fwd(value, spatial_shapes, lx, ly, at, n_queries, q_tile)
+    return out
+
+
+def _rows_fwd(value, spatial_shapes, lx, ly, at, n_queries, q_tile):
+    B, S, M, D = value.shape
+    BMG, LP, q_pad = lx.shape
+    MG = BMG // B
+    groups = MG // M
+    q_tile = q_tile or (128 if q_pad <= 128 else Q_TILE)
+    assert q_pad % q_tile == 0, (q_pad, q_tile)
+    ranges = _row_ranges(lx.astype(jnp.float32), ly.astype(jnp.float32),
+                         spatial_shapes, q_tile, S_TILE, LP // len(spatial_shapes))
+    value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
+    value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
+    out_bm = _fwd_call_fused(spatial_shapes, value_e, value_o,
+                             lx.astype(jnp.float32), ly.astype(jnp.float32),
+                             at.astype(jnp.float32), ranges, q_tile, S_TILE,
+                             groups)
+    out = out_bm.reshape(B, MG, D, q_pad)[..., :n_queries]
+    out = jnp.transpose(out, (0, 3, 1, 2)).reshape(B, n_queries, MG * D)
+    return out.astype(value.dtype), (value, lx, ly, at)
+
+
+def _rows_fwd_fwd(value, spatial_shapes, lx, ly, at, n_queries, q_tile=0):
+    return _rows_fwd(value, spatial_shapes, lx, ly, at, n_queries, q_tile)
+
+
+def _rows_fwd_bwd(spatial_shapes, n_queries, q_tile, res, g):
+    value, lx, ly, at = res
+    B, S, M, D = value.shape
+    BMG, LP, q_pad = lx.shape
+    MG = BMG // B
+    groups = MG // M
+    q_tile = q_tile or (128 if q_pad <= 128 else Q_TILE)
+    L = len(spatial_shapes)
+    idx, wt = _taps_rows(spatial_shapes, lx, ly, at)
+    ranges = _rows_tile_ranges(idx, wt, L, q_tile, S_TILE)
+    value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
+    value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
+    g_bm = jnp.transpose(g.reshape(B, n_queries, MG, D), (0, 2, 1, 3)) \
+        .reshape(BMG, n_queries, D)
+    g_bm = jnp.pad(g_bm, ((0, 0), (0, q_pad - n_queries), (0, 0))) \
+        .astype(value_e.dtype)
+    gve, gvo, gwt = _bwd_call(spatial_shapes, value_e, value_o, idx, wt,
+                              ranges, g_bm, q_tile, S_TILE, groups)
+    gval = _unpack_levels(gve, gvo, spatial_shapes, S_TILE)
+    gval = gval.reshape(B, M, S, D).transpose(0, 2, 1, 3)
+    _, vjp = jax.vjp(lambda a, b, c: _taps_rows(spatial_shapes, a, b, c)[1],
+                     lx, ly, at)
+    glx, gly, gat = vjp(gwt.astype(jnp.float32))
+    return (gval.astype(value.dtype), glx.astype(lx.dtype),
+            gly.astype(ly.dtype), gat.astype(at.dtype))
+
+
+ms_deform_attn_rows.defvjp(_rows_fwd_fwd, _rows_fwd_bwd)
+
+
+# ---------------------------------------------------------------------------
+# VMEM-bounded level grouping
+# ---------------------------------------------------------------------------
+
+VMEM_VALUE_BUDGET = 12 * 1024 * 1024
+
+
+def _value_vmem_bytes(spatial_shapes: Shapes, D: int, itemsize: int) -> int:
+    """VMEM footprint of the two resident parity-packed value blocks for one
+    grid row (minor dim lane-padded to a 128 multiple)."""
+    _, s_pad = _padded_level_starts(spatial_shapes, S_TILE)
+    lanes = _round_up(max(D, 1), 128)
+    return 2 * s_pad * lanes * itemsize
+
+
+def level_groups(spatial_shapes: Shapes, D: int, itemsize: int,
+                 budget=None):
+    """Split the level list into contiguous groups whose packed value blocks
+    fit the VMEM budget. The attention output is a sum over levels, so the
+    kernel can run once per group and accumulate (attention weights are
+    already normalized jointly; slicing them keeps the weighting exact)."""
+    if budget is None:
+        budget = VMEM_VALUE_BUDGET
+    groups = []
+    start = 0
+    L = len(spatial_shapes)
+    while start < L:
+        end = start + 1
+        while end < L and _value_vmem_bytes(
+                spatial_shapes[start:end + 1], D, itemsize) <= budget:
+            end += 1
+        groups.append((start, end))
+        start = end
+    return groups
+
+
+def ms_deform_attn_pallas_auto(value, spatial_shapes: Shapes, loc, att,
+                               q_tile: int = 0):
+    """`ms_deform_attn_pallas` with automatic VMEM-bounded level grouping:
+    large pyramids / wide dtypes whose packed value blocks exceed the VMEM
+    budget run as one kernel call per level group, summed (exact — the op is
+    a sum over levels)."""
+    D = value.shape[-1]
+    groups = level_groups(spatial_shapes, D, value.dtype.itemsize)
+    if len(groups) == 1:
+        return ms_deform_attn_pallas(value, spatial_shapes, loc, att, q_tile)
+    starts = _level_starts(spatial_shapes) + (value.shape[1],)
+    out = None
+    for l0, l1 in groups:
+        v = jax.lax.slice_in_dim(value, starts[l0], starts[l1], axis=1)
+        o = ms_deform_attn_pallas(v, spatial_shapes[l0:l1],
+                                  loc[:, :, :, l0:l1], att[:, :, :, l0:l1],
+                                  q_tile)
+        out = o if out is None else out + o
+    return out
+
+
+def ms_deform_attn_rows_auto(value, spatial_shapes: Shapes, lx, ly, at,
+                             n_queries: int, q_tile: int = 0):
+    """`ms_deform_attn_rows` with automatic VMEM-bounded level grouping."""
+    D = value.shape[-1]
+    P = lx.shape[1] // len(spatial_shapes)
+    groups = level_groups(spatial_shapes, D, value.dtype.itemsize)
+    if len(groups) == 1:
+        return ms_deform_attn_rows(value, spatial_shapes, lx, ly, at,
+                                   n_queries, q_tile)
+    starts = _level_starts(spatial_shapes) + (value.shape[1],)
+    out = None
+    for l0, l1 in groups:
+        v = jax.lax.slice_in_dim(value, starts[l0], starts[l1], axis=1)
+        o = ms_deform_attn_rows(v, spatial_shapes[l0:l1],
+                                lx[:, l0 * P:l1 * P], ly[:, l0 * P:l1 * P],
+                                at[:, l0 * P:l1 * P], n_queries, q_tile)
+        out = o if out is None else out + o
+    return out

@@ -177,3 +177,109 @@ class TestRanges:
         idx, wt = _taps(big, loc, att)
         r = np.asarray(_tile_ranges(idx, wt, big, 256, 512, 4096))
         assert r[..., 1].max() <= 3        # ≤3 of 8 s-tiles per q-tile
+
+
+class TestRowsForm:
+    """`ms_deform_attn_rows` must match the loc-based op exactly — same
+    kernel, transposes lifted to the caller."""
+
+    def _rows_from_loc(self, loc, att, q_pad):
+        import jax.numpy as jnp
+        B, Q, MG, L, P, _ = loc.shape
+        lx = jnp.transpose(loc[..., 0], (0, 2, 3, 4, 1)).reshape(
+            B * MG, L * P, Q)
+        ly = jnp.transpose(loc[..., 1], (0, 2, 3, 4, 1)).reshape(
+            B * MG, L * P, Q)
+        at = jnp.transpose(att, (0, 2, 3, 4, 1)).reshape(B * MG, L * P, Q)
+        pad = ((0, 0), (0, 0), (0, q_pad - Q))
+        return (jnp.pad(lx, pad, constant_values=-10.0),
+                jnp.pad(ly, pad, constant_values=-10.0),
+                jnp.pad(at, pad))
+
+    def test_forward_matches_loc_form(self, rng):
+        from devis_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_rows
+        value, loc, att = _inputs(rng, B=2, Q=50)
+        lx, ly, at = self._rows_from_loc(loc, att, 128)
+        got = ms_deform_attn_rows(value, SHAPES, lx, ly, at, 50)
+        want = ms_deform_attn_pallas(value, SHAPES, loc, att)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_grads_match_loc_form(self, rng):
+        from devis_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_rows
+        value, loc, att = _inputs(rng, B=1, Q=40)
+        lx, ly, at = self._rows_from_loc(loc, att, 128)
+
+        def loss_rows(v, a, b, c):
+            return (ms_deform_attn_rows(v, SHAPES, a, b, c, 40) ** 2).sum()
+
+        def loss_loc(v, l, a):
+            return (ms_deform_attn_pallas(v, SHAPES, l, a) ** 2).sum()
+
+        gv, glx, gly, gat = jax.grad(loss_rows, argnums=(0, 1, 2, 3))(
+            value, lx, ly, at)
+        gv2, gl2, ga2 = jax.grad(loss_loc, argnums=(0, 1, 2))(value, loc, att)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(gv2),
+                                   rtol=1e-5, atol=1e-6)
+        # loc-form grads, re-laid out to rows, must match the rows-form grads
+        gl_rows_x, gl_rows_y, ga_rows = self._rows_from_loc(
+            jnp.stack([gl2[..., 0], gl2[..., 1]], -1), ga2, 128)
+        # padding constants differ (grads are 0 in padding); compare live part
+        np.testing.assert_allclose(np.asarray(glx[:, :, :40]),
+                                   np.asarray(gl_rows_x[:, :, :40]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gly[:, :, :40]),
+                                   np.asarray(gl_rows_y[:, :, :40]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gat[:, :, :40]),
+                                   np.asarray(ga_rows[:, :, :40]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_encoder_fused_rows_matches_xla(rng):
+    """The encoder's rows path (transposed projections + ms_deform_attn_rows)
+    must match the q-major XLA path bit-for-bit in structure (same params)."""
+    from devis_tpu.models.attention import TemporalMSDeformAttnEncoder
+    d_model, n_heads, P, L = 64, 4, 2, len(SHAPES)
+    T = 3
+    enc_kwargs = dict(n_frames=T, d_model=d_model, n_levels=L, t_window=T - 1,
+                      n_heads=n_heads, n_curr_points=P, n_temporal_points=P,
+                      connect_all=True)
+    query = jnp.asarray(rng.randn(T, S, d_model), jnp.float32)
+    flat = jnp.asarray(rng.randn(T, S, d_model), jnp.float32)
+    refpts = jnp.asarray(rng.rand(T, S, L, 2), jnp.float32)
+
+    m_xla = TemporalMSDeformAttnEncoder(impl="xla", **enc_kwargs)
+    params = m_xla.init(jax.random.PRNGKey(0), query, refpts, flat, SHAPES)
+    out_xla = m_xla.apply(params, query, refpts, flat, SHAPES)
+    m_rows = TemporalMSDeformAttnEncoder(impl="pallas", **enc_kwargs)
+    out_rows = m_rows.apply(params, query, refpts, flat, SHAPES)
+    np.testing.assert_allclose(np.asarray(out_rows), np.asarray(out_xla),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss_rows(p):
+        return (m_rows.apply(p, query, refpts, flat, SHAPES) ** 2).sum()
+
+    def loss_xla(p):
+        return (m_xla.apply(p, query, refpts, flat, SHAPES) ** 2).sum()
+
+    g_r = jax.grad(loss_rows)(params)
+    g_x = jax.grad(loss_xla)(params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4), g_r, g_x)
+
+
+def test_level_grouping_matches_single_call(rng):
+    """Tiny-budget grouping must reproduce the single-call result exactly."""
+    from devis_tpu.ops import ms_deform_attn_pallas as mp
+    value, loc, att = _inputs(rng, B=1, Q=40)
+    want = mp.ms_deform_attn_pallas(value, SHAPES, loc, att)
+    orig = mp.VMEM_VALUE_BUDGET
+    try:
+        mp.VMEM_VALUE_BUDGET = 1           # force one group per level
+        assert len(mp.level_groups(SHAPES, 32, 4, 1)) == len(SHAPES)
+        got = mp.ms_deform_attn_pallas_auto(value, SHAPES, loc, att)
+    finally:
+        mp.VMEM_VALUE_BUDGET = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)
