@@ -89,9 +89,15 @@ def _deform_conv2d_pallas(x, offset, mask, weight, bias, padding=1,
         u = jnp.einsum("bqc,kcd->bkqd", xq, w_kk[g0:g1].astype(x.dtype),
                        preferred_element_type=jnp.float32,
                        precision=prec).astype(x.dtype)
+        # Query tile scaled with the map width: the s-span floor is the
+        # static kernel extent (~2.5 rows · W pixels), so wider maps need
+        # more queries per tile to amortize it (measured: 256 best at
+        # W=80, 20 ms/call at W=304 with 256).
+        q_tile = 256 if W <= 96 else (512 if W <= 192 else 1024)
         o = ms_deform_attn_pallas(u.reshape(B, (g1 - g0) * H * W, 1, Cout),
                                   ((H, W),) * (g1 - g0),
-                                  loc[:, :, :, g0:g1], att[:, :, :, g0:g1])
+                                  loc[:, :, :, g0:g1], att[:, :, :, g0:g1],
+                                  q_tile)
         out = out + o.astype(jnp.float32)
     return (out.reshape(B, H, W, Cout) + bias).astype(x.dtype)
 
