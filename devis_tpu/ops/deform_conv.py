@@ -40,8 +40,7 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     return _deform_conv2d_xla(x, offset, mask, weight, bias, padding)
 
 
-def _deform_conv2d_pallas(x, offset, mask, weight, bias, padding=1,
-                          vmem_budget: int = 10 * 1024 * 1024):
+def _deform_conv2d_pallas(x, offset, mask, weight, bias, padding=1):
     """Deformable conv with the channel mix folded BEFORE the gather.
 
     Bilinear sampling is linear and the conv weight is constant over space, so
@@ -55,51 +54,55 @@ def _deform_conv2d_pallas(x, offset, mask, weight, bias, padding=1,
     the kernel writes the final (B, HW, Cout) directly, and each grid cell
     amortizes its overhead over K² levels instead of 4 taps.
 
-    Positions are processed in groups so the level-stacked value buffer fits
-    VMEM: a (rows, Cout) block lane-pads Cout up to 128, so per-level VMEM is
-    `2 · packed_rows · 128 · itemsize` regardless of Cout."""
-    from .ms_deform_attn_pallas import (S_TILE, _round_up,
-                                        ms_deform_attn_pallas)
+    Positions are processed in VMEM-bounded groups by the rows-form op
+    (`ms_deform_attn_rows_auto`): a (rows, Cout) value block lane-pads Cout
+    up to 128, so per-level VMEM is `2·packed_rows·128·itemsize` regardless
+    of Cout."""
+    from .ms_deform_attn_pallas import _round_up, ms_deform_attn_rows_auto
     B, H, W, Cin = x.shape
     K = weight.shape[0]
     KK = K * K
     Cout = weight.shape[-1]
-    off = offset.reshape(B, H, W, KK, 2)
-    base_y = jnp.arange(H, dtype=jnp.float32)[None, :, None, None]
-    base_x = jnp.arange(W, dtype=jnp.float32)[None, None, :, None]
-    ky = (jnp.arange(KK, dtype=jnp.float32) // K)[None, None, None]
-    kx = (jnp.arange(KK, dtype=jnp.float32) % K)[None, None, None]
+    HW = H * W
+    # Sampling-location ROWS built directly in kernel layout (B·1head, KK, q):
+    # one transpose of the offset/modulation conv outputs replaces the
+    # q-major (B, HW, 1, KK, 1, 2) loc materialization and the per-call
+    # transposes inside the loc-form op.
+    f32 = jnp.float32
+    off_r = jnp.transpose(offset.reshape(B, HW, KK, 2),
+                          (0, 2, 3, 1)).astype(f32)        # (B, KK, 2, HW)
+    at = jnp.transpose(mask.reshape(B, HW, KK), (0, 2, 1)).astype(f32)
+    qs = jnp.arange(HW, dtype=f32)[None, None]
+    base_x = qs % W
+    base_y = jnp.floor(qs / W)
+    ky = (jnp.arange(KK, dtype=f32) // K)[None, :, None]
+    kx = (jnp.arange(KK, dtype=f32) % K)[None, :, None]
     # MSDA convention: pixel = loc·size − 0.5  ⇒  loc = (pixel + 0.5)/size
-    sy = (base_y + (ky - padding) + off[..., 0] + 0.5) / H   # (B, H, W, KK)
-    sx = (base_x + (kx - padding) + off[..., 1] + 0.5) / W
-    loc = jnp.stack([sx, sy], axis=-1).reshape(B, H * W, 1, KK, 1, 2)
-    att = mask.reshape(B, H * W, 1, KK, 1)
-    w_kk = weight.reshape(KK, Cin, Cout)
-    xq = x.reshape(B, H * W, Cin)
+    ly = (base_y + (ky - padding) + off_r[:, :, 0] + 0.5) / H  # (B, KK, HW)
+    lx = (base_x + (kx - padding) + off_r[:, :, 1] + 0.5) / W
 
-    rows2 = _round_up(-(-H * W // 2), S_TILE)
-    per_level = 2 * rows2 * 128 * x.dtype.itemsize
-    per_call = max(1, min(KK, vmem_budget // per_level))
-    out = jnp.zeros((B, H * W, Cout), jnp.float32)
-    for g0 in range(0, KK, per_call):
-        g1 = min(g0 + per_call, KK)
-        # TPU f32 dots default to bf16 multiplies; pin true-f32 precision on
-        # the f32 (parity/debug) path — the bf16 inference path is unaffected.
-        prec = ("highest" if x.dtype == jnp.float32 else None)
-        u = jnp.einsum("bqc,kcd->bkqd", xq, w_kk[g0:g1].astype(x.dtype),
-                       preferred_element_type=jnp.float32,
-                       precision=prec).astype(x.dtype)
-        # Query tile scaled with the map width: the s-span floor is the
-        # static kernel extent (~2.5 rows · W pixels), so wider maps need
-        # more queries per tile to amortize it (measured: 256 best at
-        # W=80, 20 ms/call at W=304 with 256).
-        q_tile = 256 if W <= 96 else (512 if W <= 192 else 1024)
-        o = ms_deform_attn_pallas(u.reshape(B, (g1 - g0) * H * W, 1, Cout),
-                                  ((H, W),) * (g1 - g0),
-                                  loc[:, :, :, g0:g1], att[:, :, :, g0:g1],
-                                  q_tile)
-        out = out + o.astype(jnp.float32)
-    return (out.reshape(B, H, W, Cout) + bias).astype(x.dtype)
+    # TPU f32 dots default to bf16 multiplies; pin true-f32 precision on the
+    # f32 (parity/debug) path — the bf16 inference path is unaffected.
+    prec = ("highest" if x.dtype == jnp.float32 else None)
+    u = jnp.einsum("bqc,kcd->bkqd", x.reshape(B, HW, Cin),
+                   weight.reshape(KK, Cin, Cout).astype(x.dtype),
+                   preferred_element_type=jnp.float32,
+                   precision=prec).astype(x.dtype)
+
+    # Query tile scaled with the map width: the s-span floor is the static
+    # kernel extent (~2.5 rows · W pixels), so wider maps need more queries
+    # per tile to amortize it (measured sweep in docs/PERFORMANCE.md).
+    q_tile = 256 if W <= 96 else (512 if W <= 192 else 1024)
+    q_pad = _round_up(HW, q_tile)
+    if q_pad != HW:
+        qp = ((0, 0), (0, 0), (0, q_pad - HW))
+        lx = jnp.pad(lx, qp, constant_values=-10.0)  # OOB → all weights 0
+        ly = jnp.pad(ly, qp, constant_values=-10.0)
+        at = jnp.pad(at, qp)
+    out = ms_deform_attn_rows_auto(u.reshape(B, KK * HW, 1, Cout),
+                                   ((H, W),) * KK, lx, ly, at, HW, q_tile)
+    return (out.reshape(B, H, W, Cout).astype(jnp.float32)
+            + bias).astype(x.dtype)
 
 
 def _deform_conv2d_xla(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
