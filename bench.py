@@ -12,6 +12,7 @@ forward, so device clip latency is the throughput bound:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -23,6 +24,9 @@ H, W = 360, 640          # shorter-side-360 eval bucket (INPUT.MIN_SIZE_TEST)
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from devis_tpu.config import get_cfg_defaults
     from devis_tpu.models import build_model
