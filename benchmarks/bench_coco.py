@@ -28,8 +28,12 @@ def main():
     from devis_tpu.models import build_model
 
     cfg = get_cfg_defaults()
-    cfg.merge_from_file("configs/deformable_mask_head_R_50.yaml") \
-        if os.path.exists("configs/deformable_mask_head_R_50.yaml") else None
+    yaml_path = os.path.join(
+        os.path.dirname(__file__), "..", "configs", "deformable_mask_head",
+        "deformable_mask_head_R_50.yaml")
+    if not os.path.exists(yaml_path):
+        raise FileNotFoundError(yaml_path)
+    cfg.merge_from_file(yaml_path)
     cfg.DATASETS.TYPE = "coco"
     cfg.MODEL.MASK_ON = True
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"

@@ -162,46 +162,73 @@ class TemporalMSDeformAttnBase(nn.Module):
     impl: str = "auto"
     dtype: Any = jnp.float32
 
+    # -- shared Dense constructors -------------------------------------------
+    # Both the q-major `_projections` path and the transposed `_fused_rows`
+    # path must produce parameter- and layout-identical Dense layers, or
+    # trained checkpoints would silently diverge between the XLA and Pallas
+    # routes; build every projection through these helpers only.
+
+    def _value_proj_dense(self):
+        return nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")
+
+    def _sampling_offsets_dense(self):
+        M, L, Pc = self.n_heads, self.n_levels, self.n_curr_points
+        return nn.Dense(M * L * Pc * 2, kernel_init=nn.initializers.zeros,
+                        bias_init=_np_init(sampling_offsets_bias_init(M, L, Pc)),
+                        dtype=self.dtype, name="sampling_offsets")
+
+    def _temporal_sampling_offsets_dense(self):
+        M, L, W = self.n_heads, self.n_levels, self.t_window
+        Pt = self.n_temporal_points
+        return nn.Dense(
+            M * L * W * Pt * 2, kernel_init=nn.initializers.zeros,
+            bias_init=_np_init(temporal_sampling_offsets_bias_init(M, L, W, Pt)),
+            dtype=self.dtype, name="temporal_sampling_offsets")
+
+    def _attention_weights_dense(self):
+        M, L, Pc = self.n_heads, self.n_levels, self.n_curr_points
+        return nn.Dense(M * L * Pc, kernel_init=nn.initializers.zeros,
+                        bias_init=nn.initializers.zeros, dtype=self.dtype,
+                        name="attention_weights")
+
+    def _temporal_attention_weights_dense(self):
+        M, L, W = self.n_heads, self.n_levels, self.t_window
+        Pt = self.n_temporal_points
+        return nn.Dense(M * L * W * Pt, kernel_init=nn.initializers.zeros,
+                        bias_init=nn.initializers.zeros, dtype=self.dtype,
+                        name="temporal_attention_weights")
+
+    def _value(self, input_flatten, padding_mask):
+        T, S = input_flatten.shape[:2]
+        value = self._value_proj_dense()(input_flatten)
+        if padding_mask is not None:
+            value = jnp.where(padding_mask[..., None], 0.0, value)
+        return value.reshape(T, S, self.n_heads, self.d_model // self.n_heads)
+
     def _projections(self, query, input_flatten, padding_mask):
         """Returns value, current offsets, temporal offsets and the jointly
         softmaxed current/temporal attention weights (reference L225-266)."""
         T, Lq, _ = query.shape
-        S = input_flatten.shape[1]
         M, L, W = self.n_heads, self.n_levels, self.t_window
         Pc, Pt = self.n_curr_points, self.n_temporal_points
-        D = self.d_model // M
 
-        value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(input_flatten)
-        if padding_mask is not None:
-            value = jnp.where(padding_mask[..., None], 0.0, value)
-        value = value.reshape(T, S, M, D)
+        value = self._value(input_flatten, padding_mask)
 
-        t_off = nn.Dense(
-            M * L * W * Pt * 2, kernel_init=nn.initializers.zeros,
-            bias_init=_np_init(temporal_sampling_offsets_bias_init(M, L, W, Pt)),
-            dtype=self.dtype,
-            name="temporal_sampling_offsets")(query)
+        t_off = self._temporal_sampling_offsets_dense()(query)
         # Runtime stacked-level layout is frame-major: (W, L).
         t_off = t_off.reshape(T, Lq, M, W, L, Pt, 2).reshape(T, Lq, M, W * L, Pt, 2)
 
-        t_att = nn.Dense(M * L * W * Pt, kernel_init=nn.initializers.zeros,
-                         bias_init=nn.initializers.zeros, dtype=self.dtype,
-                         name="temporal_attention_weights")(query)
+        t_att = self._temporal_attention_weights_dense()(query)
         t_att = t_att.reshape(T, Lq, M, W * L * Pt)
 
-        c_att = nn.Dense(M * L * Pc, kernel_init=nn.initializers.zeros,
-                         bias_init=nn.initializers.zeros, dtype=self.dtype,
-                         name="attention_weights")(query).reshape(T, Lq, M, L * Pc)
+        c_att = self._attention_weights_dense()(query).reshape(T, Lq, M, L * Pc)
 
         # Joint softmax over current + temporal logits (reference L247-254).
         joint = jax.nn.softmax(jnp.concatenate([c_att, t_att], axis=-1), axis=-1)
         att_curr = joint[..., :L * Pc].reshape(T, Lq, M, L, Pc)
         att_temp = joint[..., L * Pc:].reshape(T, Lq, M, W * L, Pt)
 
-        c_off = nn.Dense(M * L * Pc * 2, kernel_init=nn.initializers.zeros,
-                         bias_init=_np_init(sampling_offsets_bias_init(M, L, Pc)),
-                         dtype=self.dtype,
-                         name="sampling_offsets")(query).reshape(T, Lq, M, L, Pc, 2)
+        c_off = self._sampling_offsets_dense()(query).reshape(T, Lq, M, L, Pc, 2)
 
         return value, c_off, t_off, att_curr, att_temp
 
@@ -284,30 +311,17 @@ class TemporalMSDeformAttnEncoder(TemporalMSDeformAttnBase):
         D = self.d_model // M
         spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
 
-        value = nn.Dense(self.d_model, dtype=self.dtype,
-                         name="value_proj")(input_flatten)
-        if padding_mask is not None:
-            value = jnp.where(padding_mask[..., None], 0.0, value)
-        value = value.reshape(T, S, M, D)
+        value = self._value(input_flatten, padding_mask)
         frame_index = _temporal_frame_index(T, self.t_window, self.connect_all)
         t_value = self.stack_temporal_values(value, frame_index)
         fused_value = jnp.concatenate([value, t_value], axis=1)
         t_shapes = make_temporal_shapes(spatial_shapes, W)
         fused_shapes = spatial_shapes + t_shapes
 
-        c_off = nn.Dense(M * L * P * 2, kernel_init=nn.initializers.zeros,
-                         bias_init=_np_init(sampling_offsets_bias_init(M, L, P)),
-                         dtype=self.dtype, name="sampling_offsets")(query)
-        t_off = nn.Dense(
-            M * L * W * P * 2, kernel_init=nn.initializers.zeros,
-            bias_init=_np_init(temporal_sampling_offsets_bias_init(M, L, W, P)),
-            dtype=self.dtype, name="temporal_sampling_offsets")(query)
-        c_att = nn.Dense(M * L * P, kernel_init=nn.initializers.zeros,
-                         bias_init=nn.initializers.zeros, dtype=self.dtype,
-                         name="attention_weights")(query)
-        t_att = nn.Dense(M * L * W * P, kernel_init=nn.initializers.zeros,
-                         bias_init=nn.initializers.zeros, dtype=self.dtype,
-                         name="temporal_attention_weights")(query)
+        c_off = self._sampling_offsets_dense()(query)
+        t_off = self._temporal_sampling_offsets_dense()(query)
+        c_att = self._attention_weights_dense()(query)
+        t_att = self._temporal_attention_weights_dense()(query)
 
         # ONE transpose per projection, then stay in (channels, Q) space.
         f32 = jnp.float32

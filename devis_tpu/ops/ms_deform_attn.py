@@ -66,7 +66,15 @@ def force_xla_ops():
     active. Needed when tracing for a non-default device (e.g. parameter
     init jitted onto CPU while the default backend is TPU): the Pallas
     kernels pick interpret mode from the DEFAULT backend at trace time, so
-    they must be bypassed when the computation is lowered for CPU."""
+    they must be bypassed when the computation is lowered for CPU.
+
+    Caveat: the flag is read at TRACE time, not call time. A user function
+    first jitted inside this context bakes ``impl='xla'`` into its jit cache
+    entry and silently reuses it for later same-shape calls outside the
+    context (and vice versa). Wrap only the ``jit``/``init`` call that must
+    lower for CPU, and don't share jitted callables across the boundary; the
+    flag is also process-global and not thread-safe. Model code that needs a
+    per-call choice should pass ``impl=`` explicitly instead."""
     global _FORCE_XLA
     prev = _FORCE_XLA
     _FORCE_XLA = True

@@ -70,6 +70,31 @@ def test_deform_conv_pallas_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_deform_conv_pallas_grad_matches_xla(rng):
+    """Gradient parity of the Pallas route (U_k = x @ W_k einsum + rows-form
+    MSDA custom VJP) against jax.grad of the jnp-gather route, w.r.t. every
+    differentiable input (x, offset, mask, weight)."""
+    import jax
+    from devis_tpu.ops.deform_conv import deform_conv2d as dc
+    B, H, W, Cin, Cout, K = 1, 7, 9, 8, 6, 3
+    x = jnp.asarray(rng.randn(B, H, W, Cin).astype(np.float32))
+    offset = jnp.asarray((rng.randn(B, H, W, 2 * K * K) * 1.5).astype(np.float32))
+    mask = jnp.asarray(rng.rand(B, H, W, K * K).astype(np.float32))
+    weight = jnp.asarray((rng.randn(K, K, Cin, Cout) * 0.2).astype(np.float32))
+    bias = jnp.asarray(rng.randn(Cout).astype(np.float32))
+    cot = jnp.asarray(rng.randn(B, H, W, Cout).astype(np.float32))
+
+    def loss(impl):
+        return lambda xx, oo, mm, ww: jnp.sum(
+            dc(xx, oo, mm, ww, bias, impl=impl) * cot)
+
+    g_pal = jax.grad(loss("pallas"), argnums=(0, 1, 2, 3))(x, offset, mask, weight)
+    g_xla = jax.grad(loss("xla"), argnums=(0, 1, 2, 3))(x, offset, mask, weight)
+    for name, gp, gx in zip(("x", "offset", "mask", "weight"), g_pal, g_xla):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
 def test_deform_conv_zero_offset_equals_conv(rng):
     """With zero offsets and unit modulation it must equal a plain 3x3 conv."""
     B, H, W, Cin, Cout, K = 1, 8, 8, 4, 3, 3
