@@ -201,7 +201,7 @@ _C.MODEL.MATCHER.BBX_GIOU_COST = 2.0
 _C.MODEL.MATCHER.USE_SUM_L1_DISTANCE = False
 
 _C.DATASETS = CfgNode()
-_C.DATASETS.TYPE = "coco"                # coco | vis
+_C.DATASETS.TYPE = "coco"                # coco | coco_panoptic | vis
 _C.DATASETS.DATA_PATH = "data"
 _C.DATASETS.TRAIN_DATASET = "train"
 _C.DATASETS.VAL_DATASET = "val"
@@ -299,7 +299,8 @@ def get_cfg_defaults() -> CfgNode:
 
 def sanity_check(cfg: CfgNode) -> None:
     """Startup config invariants (reference: main.py:52-94)."""
-    assert cfg.DATASETS.TYPE in ("coco", "vis"), cfg.DATASETS.TYPE
+    assert cfg.DATASETS.TYPE in ("coco", "coco_panoptic", "vis"), \
+        cfg.DATASETS.TYPE
     if cfg.DATASETS.TYPE == "vis":
         assert cfg.SOLVER.BATCH_SIZE == 1, "VIS training requires BATCH_SIZE=1"
         assert cfg.MODEL.NUM_QUERIES % cfg.MODEL.DEVIS.NUM_FRAMES == 0, \

@@ -201,5 +201,8 @@ def build_dataset(image_set: str, cfg):
     if cfg.DATASETS.TYPE == "vis":
         from .vis import build_vis
         return build_vis(image_set, cfg)
+    if cfg.DATASETS.TYPE == "coco_panoptic":
+        from .coco_panoptic import build_coco_panoptic
+        return build_coco_panoptic(image_set, cfg)
     from .coco import build_coco
     return build_coco(image_set, cfg)

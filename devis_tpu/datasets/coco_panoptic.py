@@ -43,6 +43,14 @@ class CocoPanoptic:
     def gt_dict(self) -> Dict:
         return self.coco
 
+    def gt_segmentation(self, idx: int):
+        """(segment-id map (H, W) int32, segments_info list) for PQ eval."""
+        ann = self.anns[idx]
+        seg_png = cv2.cvtColor(
+            cv2.imread(os.path.join(self.ann_folder, ann["file_name"]),
+                       cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+        return png_to_segment_ids(seg_png), ann["segments_info"]
+
     def __getitem__(self, idx: int) -> Dict:
         ann = self.anns[idx]
         info = self.imgs[ann["image_id"]]
@@ -77,3 +85,26 @@ class CocoPanoptic:
         out["orig_size"] = (h, w)
         out["iscrowd"] = np.asarray(iscrowd, np.int32)
         return out
+
+
+def build_coco_panoptic(image_set: str, cfg):
+    """Dataset-dispatch entry for `DATASETS.TYPE: coco_panoptic`.
+
+    Path layout mirrors the reference (`src/datasets/coco_panoptic.py:79-99`):
+    images under `<DATA_PATH>/COCO/{train,val}2017`, panoptic annotations under
+    `<DATA_PATH>/coco_panoptic/panoptic_{split}2017[.json]`. Returns
+    (dataset, 250) — the panoptic category-id space (DETR convention; panoptic
+    category ids run to 200)."""
+    split = "train" if image_set == "TRAIN" else "val"
+    root = cfg.DATASETS.DATA_PATH
+    img_folder = os.path.join(root, "COCO", f"{split}2017")
+    ann_root = os.path.join(root, "coco_panoptic")
+    ds = CocoPanoptic(
+        img_folder=img_folder,
+        ann_folder=os.path.join(ann_root, f"panoptic_{split}2017"),
+        ann_file=os.path.join(ann_root, "annotations",
+                              f"panoptic_{split}2017.json"),
+        train=image_set == "TRAIN",
+        min_size_test=cfg.INPUT.MIN_SIZE_TEST,
+        max_size_test=cfg.INPUT.MAX_SIZE_TEST)
+    return ds, 250

@@ -92,23 +92,90 @@ def crop_sample(sample: Dict, region: Tuple[int, int, int, int]) -> Dict:
     return out
 
 
-def photometric_distort(image: np.ndarray, rng: random.Random) -> np.ndarray:
-    """Brightness/contrast/saturation/hue jitter (reference
-    coco_transforms.py:283-402, applied with prob 0.5 each)."""
+# channel permutations for lighting noise (reference coco_transforms.py:336-347)
+_LIGHTING_PERMS = ((0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1),
+                   (2, 1, 0))
+
+
+def photometric_distort(image: np.ndarray, rng: random.Random,
+                        brightness_delta: float = 0.0,
+                        contrast: Tuple[float, float] = (0.5, 1.3),
+                        contrast_post: Tuple[float, float] = (0.5, 1.5),
+                        saturation: Tuple[float, float] = (0.7, 1.3),
+                        hue_delta: float = 8.0,
+                        lighting_noise: bool = True) -> np.ndarray:
+    """Photometric distortion matching the reference's `VISPhotometricDistort`
+    (`vis_transforms.py:348-376`) / `PhotometricDistort`
+    (`coco_transforms.py:283-402`): optional brightness shift, random contrast
+    applied either BEFORE or AFTER the HSV chain (one coin flip), saturation
+    scale + hue rotation in float HSV space, and lighting noise = a random
+    channel permutation. Defaults are the VIS recipe's parameters."""
     img = image.astype(np.float32)
+    if brightness_delta and rng.random() < 0.5:
+        img += rng.uniform(-brightness_delta, brightness_delta)
+
+    # The reference's pre-HSV contrast uses the recipe's upper bound, the
+    # post-HSV one the default 1.5 (vis_transforms.py:350-357).
+    contrast_first = rng.random() < 0.5
+    if contrast_first and rng.random() < 0.5:
+        img *= rng.uniform(contrast[0], contrast[1])
+
+    # float32 HSV: H in [0, 360), S scale-invariant — matches the reference's
+    # float-image cv2 conversions (hue delta is in degrees).
+    hsv = cv2.cvtColor(np.clip(img, 0, 255) / 255.0, cv2.COLOR_RGB2HSV)
     if rng.random() < 0.5:
-        img += rng.uniform(-32, 32)
+        hsv[..., 1] = np.clip(hsv[..., 1] * rng.uniform(*saturation), 0, 1)
     if rng.random() < 0.5:
-        img *= rng.uniform(0.5, 1.5)
-    hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV)
-    hsv = hsv.astype(np.float32)
-    if rng.random() < 0.5:
-        hsv[..., 1] *= rng.uniform(0.5, 1.5)
-    if rng.random() < 0.5:
-        hsv[..., 0] = (hsv[..., 0] + rng.uniform(-18, 18)) % 180
-    img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8),
-                       cv2.COLOR_HSV2RGB).astype(np.float32)
+        hsv[..., 0] = (hsv[..., 0] + rng.uniform(-hue_delta, hue_delta)) % 360
+    img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB) * 255.0
+
+    if not contrast_first and rng.random() < 0.5:
+        img *= rng.uniform(*contrast_post)
+
+    if lighting_noise and rng.random() < 0.5:
+        perm = _LIGHTING_PERMS[rng.randrange(len(_LIGHTING_PERMS))]
+        img = img[:, :, perm]
     return np.clip(img, 0, 255)
+
+
+def random_erasing_sample(sample: Dict, rng: random.Random, p: float = 0.5,
+                          scale: Tuple[float, float] = (0.02, 0.33),
+                          ratio: Tuple[float, float] = (0.3, 3.3),
+                          value: float = 0.0,
+                          drop_overlap: float = 0.7) -> Dict:
+    """RandomErasing (reference coco_transforms.py:569-608, available in the
+    reference library but not wired into its recipes): erase a random
+    rectangle and drop instances whose box overlaps the erased region by more
+    than `drop_overlap` of their area (marked invalid here — static shapes)."""
+    if rng.random() >= p:
+        return sample
+    img = sample["image"]
+    h, w = img.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target_area = rng.uniform(*scale) * area
+        aspect = np.exp(rng.uniform(np.log(ratio[0]), np.log(ratio[1])))
+        eh = int(round(np.sqrt(target_area * aspect)))
+        ew = int(round(np.sqrt(target_area / aspect)))
+        if eh < h and ew < w:
+            y0 = rng.randint(0, h - eh)
+            x0 = rng.randint(0, w - ew)
+            break
+    else:
+        return sample
+    out_img = img.copy()
+    out_img[y0:y0 + eh, x0:x0 + ew] = value
+    out = dict(sample, image=out_img)
+    if "boxes" in sample and len(sample["boxes"]):
+        b = sample["boxes"]
+        ix = (np.minimum(b[:, 2], x0 + ew) - np.maximum(b[:, 0], x0)).clip(min=0)
+        iy = (np.minimum(b[:, 3], y0 + eh) - np.maximum(b[:, 1], y0)).clip(min=0)
+        inter = ix * iy
+        box_area = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])).clip(min=1e-9)
+        keep = inter <= drop_overlap * box_area
+        if "valid" in sample:
+            out["valid"] = np.logical_and(sample["valid"], keep)
+    return out
 
 
 def normalize_sample(sample: Dict) -> Dict:
@@ -174,7 +241,11 @@ class ClipTransform:
             frames = [crop_sample(f, (y0, x0, ch, cw)) for f in frames]
         frames = [resize_sample(f, get_size_with_aspect_ratio(
             f["image"].shape[:2], scale, self.max_size)) for f in frames]
-        if self.photometric and rng.random() < 0.5:
+        if self.photometric:
+            # One random draw shared by every frame (clip consistency); the
+            # per-op probabilities live inside photometric_distort, so no
+            # outer gate (reference applies VISPhotometricDistort
+            # unconditionally, vis.py:241).
             seed = rng.random()
             for f in frames:
                 f["image"] = photometric_distort(f["image"], random.Random(seed))

@@ -241,8 +241,13 @@ VIS_PATHS = {
                       "Youtube_VIS-2019/valid/valid.json", 40),
     "yt_vis_train_21": ("Youtube_VIS-2021/train/JPEGImages",
                         "Youtube_VIS-2021/train/instances.json", 40),
+    "yt_vis_train_21_wo_2975_2359": (
+        "Youtube_VIS-2021/train/JPEGImages",
+        "Youtube_VIS-2021/train/instances_wo_2975_2359.json", 40),
     "yt_vis_val_21": ("Youtube_VIS-2021/valid/JPEGImages",
                       "Youtube_VIS-2021/valid/instances.json", 40),
+    "yt_vis_val_long": ("Youtube_VIS-long/valid/JPEGImages",
+                        "Youtube_VIS-long/valid/instances.json", 40),
     "ovis_train": ("OVIS/train", "OVIS/annotations_train.json", 25),
     "ovis_val": ("OVIS/valid", "OVIS/annotations_valid.json", 25),
     "mini_train": ("Youtube_VIS/train/JPEGImages",

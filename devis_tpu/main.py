@@ -106,7 +106,8 @@ def main(argv=None):
 
     from .datasets import TrainLoader, build_dataset, make_buckets
     from .engine import create_train_state, make_train_step, train_one_epoch
-    from .inference import build_tracker, evaluate_coco, inference_vis
+    from .inference import (build_tracker, evaluate_coco, evaluate_panoptic,
+                            inference_vis)
     from .models import build_model
     from .parallel import make_mesh, replicate
     from .util import checkpoint as ckpt_lib
@@ -150,6 +151,10 @@ def main(argv=None):
                     print(tag, json.dumps({k: v for k, v in out["eval"].items()
                                            if isinstance(v, float)}))
                 return out.get("eval", {}).get("AP", 0.0)
+            if cfg.DATASETS.TYPE == "coco_panoptic":
+                stats = evaluate_panoptic(model, vs, dataset_val, cfg)
+                print(tag, json.dumps(stats))
+                return stats["PQ"]
             stats = evaluate_coco(model, vs, dataset_val, cfg)
             print(tag, json.dumps(stats))
             return stats["bbox"]["AP"]
