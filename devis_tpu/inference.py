@@ -183,24 +183,68 @@ def inference_vis(tracker: Tracker, dataset, output_dir: Optional[str] = None,
 # COCO evaluation loop
 # ---------------------------------------------------------------------------
 
-def evaluate_coco(model, variables, dataset, cfg,
-                  verbose: bool = True) -> Dict[str, Dict[str, float]]:
+def merge_rank_predictions(rank_lists: List[List[Dict]]) -> List[Dict]:
+    """Merge per-rank COCO prediction lists keeping ONE copy per image
+    (DistributedSampler-style padding makes tail images appear on several
+    ranks; reference de-dups in `accumulate_results`, misc.py:129-139)."""
+    merged: List[Dict] = []
+    seen: set = set()
+    for rank_preds in rank_lists:
+        rank_ids = {p["image_id"] for p in rank_preds}
+        keep = rank_ids - seen
+        merged.extend(p for p in rank_preds if p["image_id"] in keep)
+        seen |= keep
+    return merged
+
+
+def evaluate_coco(model, variables, dataset, cfg, verbose: bool = True,
+                  log_losses: bool = False) -> Dict[str, Dict[str, float]]:
     """Eval loop over a COCO-style dataset (reference engine.py:98-203).
 
     dataset yields {"image", "image_id", "orig_size", ...}; images are padded
-    to static canvas buckets (one compile each)."""
-    from .datasets import make_buckets
+    to static canvas buckets (one compile each).
+
+    Multi-host: each process evaluates an interleaved shard of images and
+    predictions are all-gathered + de-duplicated before `summarize()`
+    (reference `coco_eval.py:172-208` cross-rank merge). With
+    `log_losses=True` the criterion runs on the val targets and the averaged
+    losses are returned under "losses" (reference engine.py:98-150)."""
+    from .datasets import collate_images
     buckets = make_eval_buckets(cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST)
     mask_on = bool(cfg.MODEL.MASK_ON)
-    num_out = cfg.TEST.NUM_OUT
-    focal = cfg.MODEL.LOSS.FOCAL_LOSS
 
     fwd = jax.jit(lambda v, i, m: model.apply(v, i, m, train=False))
     evaluator = CocoEvaluator(dataset.gt_dict(),
                               iou_types=("bbox", "segm") if mask_on
                               else ("bbox",))
-    st = 4   # mask-logit stride
-    for idx in range(len(dataset)):
+
+    loss_fn = None
+    loss_sums: Dict[str, float] = {}
+    loss_count = 0
+    if log_losses:
+        from .models import matcher_cfg_from
+        from .models.criterion import image_criterion
+        mcfg = matcher_cfg_from(cfg, clip=False)
+
+        def _loss(v, images, pad_mask, targets):
+            out = model.apply(v, images, pad_mask, targets=targets,
+                              train=False)
+            # pred_logits width == effective class count (num_classes-1 under
+            # focal loss; engine.py:164-165)
+            eff = out["pred_logits"].shape[-1]
+            return image_criterion(out, targets, eff, mcfg,
+                                   cfg.MODEL.LOSS.FOCAL_ALPHA,
+                                   mask_on=mask_on)
+        loss_fn = jax.jit(_loss)
+
+    n_proc = jax.process_count()
+    rank = jax.process_index()
+    n_images = len(dataset)
+    per_proc = -(-n_images // n_proc)
+    my_images = [(rank + k * n_proc) % n_images for k in range(per_proc)] \
+        if n_images else []
+
+    for j, idx in enumerate(my_images):
         sample = dataset[idx]
         img = sample["image"]
         h, w = img.shape[:2]
@@ -212,6 +256,18 @@ def evaluate_coco(model, variables, dataset, cfg,
         out = jax.device_get(fwd(variables, jnp.asarray(images),
                                  jnp.asarray(pad_mask)))
         tk = out["top_k"]
+        if loss_fn is not None and len(sample.get("labels", ())):
+            # slot capacity can't exceed assignable queries (cf. main.py:190)
+            batch = collate_images([sample], (Hc, Wc),
+                                   max_instances=min(cfg.TPU.MAX_INSTANCES,
+                                                     cfg.MODEL.NUM_QUERIES))
+            losses = jax.device_get(loss_fn(
+                variables, jnp.asarray(batch["images"]),
+                jnp.asarray(batch["pad_mask"]),
+                jax.tree.map(jnp.asarray, batch["targets"])))
+            for k, val in losses.items():
+                loss_sums[k] = loss_sums.get(k, 0.0) + float(val)
+            loss_count += 1
         oh, ow = sample["orig_size"]
         # image-normalized cxcywh → absolute xyxy in the original image
         b = tk["boxes"][0]
@@ -238,9 +294,33 @@ def evaluate_coco(model, variables, dataset, cfg,
                 masks.append(mm > 0)
             res["masks"] = masks
         evaluator.update({int(sample["image_id"]): res})
-        if verbose and (idx + 1) % 50 == 0:
-            print(f"eval {idx + 1}/{len(dataset)}", flush=True)
-    return evaluator.summarize()
+        if verbose and (j + 1) % 50 == 0:
+            print(f"eval {j + 1}/{len(my_images)}", flush=True)
+
+    if n_proc > 1:
+        # Cross-rank merge before accumulation (reference coco_eval.py:172-208
+        # all-gathers per-rank predictions); the padded interleaved shard can
+        # evaluate an image twice — keep one copy per image.
+        from .parallel.multihost import all_gather_objects
+        evaluator.predictions = merge_rank_predictions(
+            all_gather_objects(evaluator.predictions))
+        if loss_fn is not None:
+            gathered = all_gather_objects((loss_sums, loss_count))
+            loss_sums = {}
+            loss_count = sum(c for _, c in gathered)
+            for d, _ in gathered:
+                for k, val in d.items():
+                    loss_sums[k] = loss_sums.get(k, 0.0) + val
+
+    summary = evaluator.summarize()
+    if loss_fn is not None and loss_sums:
+        n = max(loss_count, 1)
+        summary["losses"] = {k: v / n for k, v in loss_sums.items()}
+        if verbose:
+            print("val losses:", {k: round(v, 4) for k, v in
+                                  sorted(summary["losses"].items())
+                                  if not k[-1].isdigit()})
+    return summary
 
 
 def evaluate_panoptic(model, variables, dataset, cfg,
