@@ -105,8 +105,11 @@ class MultiScaleMHAttentionMap(nn.Module):
             logits = jnp.einsum("bnhc,bxyhc->bnhxy", qh * norm, kh)
             if masks is not None:
                 logits = jnp.where(masks[i][:, None, None], -jnp.inf, logits)
+            # softmax JOINTLY over heads × space (`weights.flatten(2)` in the
+            # reference, L316 — the DETR MHAttentionMap convention), not per
+            # head.
             att = jax.nn.softmax(
-                logits.reshape(B, N, self.num_heads, H * W).astype(jnp.float32),
+                logits.reshape(B, N, self.num_heads * H * W).astype(jnp.float32),
                 axis=-1).astype(logits.dtype)
             out.append(att.reshape(B, N, self.num_heads, H, W))
         return out

@@ -221,9 +221,11 @@ def flax_path_to_torch_key(module_parts: List[str], leaf_name: str,
         parts, input_proj_member = parts[:-1], "0"
     elif parts and parts[-1] == "norm" and any(p.startswith("input_proj_") for p in parts):
         parts, input_proj_member = parts[:-1], "1"
-    elif parts and parts[-1] == "conv" and len(parts) >= 2 and (
+    plain_conv = False
+    if input_proj_member is None and parts and parts[-1] == "conv" and len(parts) >= 2 and (
             re.match(r"(lay\d+|out_lay|adapter\d+)$", parts[-2]) or parts[-2].startswith("gn")):
         parts = parts[:-1]                                # PlainConv wrapper
+        plain_conv = True
 
     base = ".".join(_map_component(p) for p in parts)
     if input_proj_member is not None:
@@ -239,8 +241,9 @@ def flax_path_to_torch_key(module_parts: List[str], leaf_name: str,
     if leaf_name in ("level_embed", "temporal_embed"):
         return join(base, leaf_name)
     leaf = "weight" if leaf_name in ("kernel", "scale", "weight") else leaf_name
-    # MDC stores its regular conv weight/bias directly on our module.
-    if leaf_name in ("weight", "bias") and parts and \
+    # MDC stores its regular conv weight/bias directly on our module; a
+    # stripped PlainConv wrapper maps straight to the torch Conv2d leaf.
+    if not plain_conv and leaf_name in ("weight", "bias") and parts and \
             re.match(r"(lay\d+|out_lay)$", parts[-1]):
         return join(base, f"regular_conv.{leaf}")
     return join(base, leaf)

@@ -1,5 +1,6 @@
 """COCO evaluator golden-value tests (hand-computed COCOeval outcomes)."""
 import numpy as np
+import pytest
 
 from devis_tpu.evaluation import rle as rle_lib
 from devis_tpu.evaluation.coco_eval import (CocoEvaluator, box_iou_xywh,
@@ -138,6 +139,7 @@ class TestEvaluateCocoLoop:
         variables = model.init(jax.random.PRNGKey(0), imgs, mask, train=False)
         return cfg, ds, model, variables
 
+    @pytest.mark.slow
     def test_val_losses_logged(self):
         import numpy as np
         from devis_tpu.inference import evaluate_coco as eval_loop
@@ -152,6 +154,7 @@ class TestEvaluateCocoLoop:
             assert np.isfinite(summary["losses"][k])
         assert "bbox" in summary and "AP" in summary["bbox"]
 
+    @pytest.mark.slow
     def test_two_rank_shard_and_merge(self, monkeypatch):
         """Simulated 2-process run: each rank evaluates its interleaved
         shard; gathered predictions are de-duplicated before summarize."""

@@ -39,6 +39,7 @@ class TestParamGroups:
         assert not match_name_keywords("detr.bbox_embed_0.kernel",
                                        ["backbone.0"])
 
+    @pytest.mark.slow
     def test_group_assignment(self):
         cfg = _vis_cfg()
         cfg.freeze()
@@ -83,6 +84,7 @@ class TestSchedule:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_vis_spmd_step_8dev(self):
         cfg = _vis_cfg()
         cfg.freeze()
@@ -113,6 +115,7 @@ class TestTrainStep:
         p = jax.device_get(state.params)
         assert float(m2["grad_norm"]) > 0.0
 
+    @pytest.mark.slow
     def test_frozen_params_stay_fixed_and_loss_decreases(self):
         cfg = _vis_cfg()
         cfg.freeze()
@@ -141,6 +144,7 @@ class TestTrainStep:
         assert not np.array_equal(base_before, base_after)
         assert losses[-1] < losses[0]
 
+    @pytest.mark.slow
     def test_image_step(self):
         cfg = get_cfg_defaults()
         cfg.MODEL.MASK_ON = True

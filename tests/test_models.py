@@ -38,6 +38,7 @@ def rng_np():
 
 
 class TestImageModel:
+    @pytest.mark.slow
     def test_segm_forward_train_and_criterion(self, rng_np):
         cfg = _small_cfg(mask_on=True)
         model = build_model(num_classes=7, cfg=cfg)
@@ -75,6 +76,7 @@ class TestImageModel:
         assert np.isfinite(float(total))
         assert "loss_mask" in losses and "loss_mask_0" in losses
 
+    @pytest.mark.slow
     def test_segm_forward_eval(self, rng_np):
         cfg = _small_cfg(mask_on=True)
         model = build_model(num_classes=7, cfg=cfg)
@@ -91,6 +93,7 @@ class TestImageModel:
 
 
 class TestDeVISModel:
+    @pytest.mark.slow
     def test_forward_train_and_criterion(self, rng_np):
         cfg = _small_cfg(vis=True)
         model = build_model(num_classes=5, cfg=cfg)
@@ -119,6 +122,7 @@ class TestDeVISModel:
         total = weighted_total(losses, wd)
         assert np.isfinite(float(total)), losses
 
+    @pytest.mark.slow
     def test_forward_eval(self, rng_np):
         cfg = _small_cfg(vis=True)
         model = build_model(num_classes=5, cfg=cfg)

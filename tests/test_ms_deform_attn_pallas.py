@@ -236,6 +236,7 @@ class TestRowsForm:
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_encoder_fused_rows_matches_xla(rng):
     """The encoder's rows path (transposed projections + ms_deform_attn_rows)
     must match the q-major XLA path bit-for-bit in structure (same params)."""

@@ -1,5 +1,6 @@
 """Panoptic Quality evaluator golden-value tests."""
 import numpy as np
+import pytest
 
 from devis_tpu.datasets.coco_panoptic import png_to_segment_ids
 from devis_tpu.evaluation.panoptic_eval import (PanopticEvaluator,
@@ -63,6 +64,7 @@ def test_crowd_gt_not_fn_and_shields_predictions():
     assert tp == 0 and fn == 0 and fp == 0    # crowd shields the prediction
 
 
+@pytest.mark.slow
 def test_panoptic_pipeline_end_to_end(tmp_path, rng):
     """`DATASETS.TYPE: coco_panoptic` dispatches through build_dataset and a
     tiny mask-head model runs evaluate_panoptic end-to-end (the reference

@@ -43,6 +43,7 @@ class TestWindowOps:
 
 
 class TestSwinBackbone:
+    @pytest.mark.slow
     def test_shapes_tiny(self, rng):
         model = SwinTransformer(embed_dim=32, depths=(1, 1, 1, 1),
                                 num_heads=(2, 2, 4, 4), window=4)
@@ -57,6 +58,7 @@ class TestSwinBackbone:
         for o in outs:
             assert bool(jnp.isfinite(o).all())
 
+    @pytest.mark.slow
     def test_non_window_multiple_input(self, rng):
         """Inputs not divisible by the window must pad internally."""
         model = SwinTransformer(embed_dim=32, depths=(1, 1, 1, 1),
