@@ -288,6 +288,9 @@ _C.TPU.MSDA_IMPL = "auto"            # auto | xla | pallas — multi-scale defor
 _C.TPU.COMPUTE_DTYPE = "float32"     # float32 | bfloat16 for the model compute path
 _C.TPU.MESH_DP = 0                   # data-parallel mesh size; 0 = all local devices
 _C.TPU.EVAL_SIZE_BUCKETS = 1         # number of static (H, W) eval buckets per orientation
+_C.TPU.SWIN_GRADIENT_CHECKPOINT = False  # remat each Swin block (the TPU
+                                     # equivalent of the reference's
+                                     # torch.utils.checkpoint, swin_backbone.py:338)
 _C.TPU.MAX_INSTANCES = 25            # target-slot capacity per sample (static shape;
                                      # matches the reference's 25-instance cap, coco_joint_vis.py:33)
 

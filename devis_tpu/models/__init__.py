@@ -39,7 +39,9 @@ def build_backbone(cfg, dtype=jnp.float32):
     name = cfg.MODEL.BACKBONE
     if "swin" in name:
         from .backbones.swin import SwinTransformer, SWIN_CONFIGS
-        return (SwinTransformer(**SWIN_CONFIGS[name], dtype=dtype),
+        return (SwinTransformer(**SWIN_CONFIGS[name],
+                                use_checkpoint=cfg.TPU.SWIN_GRADIENT_CHECKPOINT,
+                                dtype=dtype),
                 SWIN_CONFIGS[name]["num_channels"])
     backbone = ResNet(name_variant=name, dilation=cfg.MODEL.BACKBONE_DILATION,
                       dtype=dtype)

@@ -75,7 +75,11 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool = True) -> List[jnp.ndarray]:
+        # `deterministic` is part of the shared backbone interface (the Swin
+        # backbone uses it for DropPath); the ResNet has no stochastic parts.
+        del deterministic
         d = self.dtype
         x = x.astype(d)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],

@@ -99,7 +99,21 @@ class SwinBlock(nn.Module):
     window: int
     shift: int
     mlp_ratio: float = 4.0
+    drop_path: float = 0.0        # stochastic-depth prob (reference L114-128)
+    deterministic: bool = True
     dtype: Any = jnp.float32
+
+    def _drop_path(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Per-sample stochastic depth (timm DropPath, used by the reference
+        block on both residual branches, swin_backbone.py:114-128,240-244):
+        drop the whole branch with prob `drop_path`, rescale by 1/keep."""
+        if self.deterministic or self.drop_path == 0.0:
+            return x
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep,
+                                    (x.shape[0],) + (1,) * (x.ndim - 1))
+        return x * mask.astype(x.dtype) / keep
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -119,13 +133,13 @@ class SwinBlock(nn.Module):
         x = window_reverse(wins.reshape(-1, w, w, C), w, B, H, W)
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
-        x = shortcut + x
+        x = shortcut + self._drop_path(x)
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
-        return x + y
+        return x + self._drop_path(y)
 
 
 class PatchMerging(nn.Module):
@@ -156,18 +170,27 @@ class SwinTransformer(nn.Module):
     window: int = 7
     mlp_ratio: float = 4.0
     num_channels: Sequence[int] = (96, 192, 384, 768)   # set by SWIN_CONFIGS
+    drop_path_rate: float = 0.2   # linear 0→rate over all blocks (ref L507)
+    use_checkpoint: bool = False  # remat each block (ref L378 torch.utils.checkpoint)
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool = True) -> List[jnp.ndarray]:
         d = self.dtype
         x = x.astype(d)
         x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4), dtype=d,
                     name="patch_embed_proj")(x)
         x = nn.LayerNorm(dtype=d, name="patch_embed_norm")(x)
 
+        # stochastic-depth decay rule: linspace over the block total (ref L507)
+        total = sum(self.depths)
+        dpr = np.linspace(0.0, self.drop_path_rate, total)
+        block_cls = nn.remat(SwinBlock) if self.use_checkpoint else SwinBlock
+
         outs = []
         w = self.window
+        blk_id = 0
         for stage, (depth, heads) in enumerate(zip(self.depths,
                                                    self.num_heads)):
             B, H, W, C = x.shape
@@ -178,8 +201,11 @@ class SwinTransformer(nn.Module):
                 shift = 0 if blk % 2 == 0 else w // 2
                 if min(Hp, Wp) <= w:
                     shift = 0
-                xp = SwinBlock(C, heads, w, shift, self.mlp_ratio, dtype=d,
+                xp = block_cls(C, heads, w, shift, self.mlp_ratio,
+                               drop_path=float(dpr[blk_id]),
+                               deterministic=deterministic, dtype=d,
                                name=f"layers_{stage}_blocks_{blk}")(xp)
+                blk_id += 1
             x = xp[:, :H, :W]
             outs.append(nn.LayerNorm(dtype=d, name=f"norm{stage}")(x))
             if stage < len(self.depths) - 1:
@@ -188,15 +214,17 @@ class SwinTransformer(nn.Module):
         return outs
 
 
-def _cfg(embed, depths, heads, window):
+def _cfg(embed, depths, heads, window, drop_path_rate):
     return dict(embed_dim=embed, depths=depths, num_heads=heads, window=window,
-                num_channels=tuple(embed * 2 ** i for i in range(4)))
+                num_channels=tuple(embed * 2 ** i for i in range(4)),
+                drop_path_rate=drop_path_rate)
 
 
+# drop_path rates from the reference registry (swin_backbone.py:671-746)
 SWIN_CONFIGS = {
-    "swin_t_p4w7": _cfg(96, (2, 2, 6, 2), (3, 6, 12, 24), 7),
-    "swin_s_p4w7": _cfg(96, (2, 2, 18, 2), (3, 6, 12, 24), 7),
-    "swin_b_p4w7": _cfg(128, (2, 2, 18, 2), (4, 8, 16, 32), 7),
-    "swin_l_p4w7": _cfg(192, (2, 2, 18, 2), (6, 12, 24, 48), 7),
-    "swin_l_p4w12": _cfg(192, (2, 2, 18, 2), (6, 12, 24, 48), 12),
+    "swin_t_p4w7": _cfg(96, (2, 2, 6, 2), (3, 6, 12, 24), 7, 0.2),
+    "swin_s_p4w7": _cfg(96, (2, 2, 18, 2), (3, 6, 12, 24), 7, 0.2),
+    "swin_b_p4w7": _cfg(128, (2, 2, 18, 2), (4, 8, 16, 32), 7, 0.3),
+    "swin_l_p4w7": _cfg(192, (2, 2, 18, 2), (6, 12, 24, 48), 7, 0.3),
+    "swin_l_p4w12": _cfg(192, (2, 2, 18, 2), (6, 12, 24, 48), 12, 0.3),
 }

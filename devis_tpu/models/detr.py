@@ -168,7 +168,8 @@ class DeformableDETR(nn.Module):
         (+ aux_outputs) and intermediates carries everything the mask head
         consumes (reference forward's 12-tuple, deformable_detr.py:203-207).
         """
-        features = self.backbone(images)                 # 4 NHWC levels
+        features = self.backbone(images,
+                                 deterministic=deterministic)  # 4 NHWC levels
         feature_masks = [downsample_mask(pad_mask, (f.shape[1], f.shape[2]))
                          for f in features]
         pos = [self.position_encoding(m).astype(features[0].dtype)
