@@ -165,3 +165,36 @@ class TestTrainStep:
         state, m = step(state, batch, jax.random.PRNGKey(5))
         assert float(m["finite"]) == 1.0
         assert np.isfinite(float(m["loss"]))
+
+
+class TestEmptyTargetClip:
+    @pytest.mark.slow
+    def test_all_invalid_targets_through_jitted_step(self):
+        """All-`exists=False` clip (no GT instances at all) through the
+        jitted train step: BIG_COST-neutralized matcher columns + masked
+        losses must stay finite and produce usable gradients (the reference
+        short-circuits this case host-side, matcher.py:61-71; our static-
+        shape path must be numerically safe instead)."""
+        cfg = _vis_cfg()
+        cfg.freeze()
+        model = build_model(num_classes=7, cfg=cfg)
+        H, W = 64, 96
+        ds = SyntheticVISDataset(num_frames=2, n_videos=2, video_len=4,
+                                 size=(H, W))
+        clip = collate_clip(ds[0], (H, W), max_instances=4)
+        # wipe every target slot
+        clip["targets"]["exists"][:] = False
+        clip["targets"]["valid"][:] = False
+        batch = jax.tree.map(lambda *xs: np.stack(xs), *[clip])
+        variables = model.init(
+            jax.random.PRNGKey(0), batch["images"][0],
+            jnp.asarray(batch["pad_mask"][0]),
+            targets=jax.tree.map(lambda x: x[0], batch["targets"]), train=True)
+        state = create_train_state(cfg, variables, steps_per_epoch=10)
+        step = make_train_step(model, cfg, num_classes=7)
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        assert float(m["finite"]) == 1.0, "NaN/Inf with empty targets"
+        assert np.isfinite(float(m["loss"]))
+        assert np.isfinite(float(m["grad_norm"]))
+        # focal no-object loss still produces a training signal
+        assert float(m["grad_norm"]) > 0.0
