@@ -18,6 +18,8 @@ HBM; per-tap accumulation peaks at (B, H, W, Cin).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -25,19 +27,51 @@ import jax.numpy as jnp
 def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   weight: jnp.ndarray, bias: jnp.ndarray,
                   padding: int = 1, impl: str = "auto") -> jnp.ndarray:
-    """Dispatch: the Pallas one-hot-matmul sampler on TPU (XLA's row-gather
-    is serial there), plain jnp gathers elsewhere."""
+    """Dispatch: the banded (rebased-window) kernel on TPU — forward via
+    branch-free tent FMAs, backward through the one-hot route's VJP
+    (`deform_conv_banded.py`); `impl="pallas"` keeps the one-hot forward;
+    plain jnp gathers elsewhere."""
     from .ms_deform_attn import resolve_impl
     impl = resolve_impl(impl)
     if impl == "pallas":
-        # Rematerialize in the backward pass: the per-position gathered maps
-        # are (B·K², HW, Cin) with a small minor dim that XLA tile-pads up to
-        # 8× — saving them as autodiff residuals across all mask-head layers
-        # blows HBM (observed 25 GB at train shapes).
-        return jax.checkpoint(
-            lambda *a: _deform_conv2d_pallas(*a, padding))(
-            x, offset, mask, weight, bias)
+        from .deform_conv_banded import deform_conv2d_banded  # noqa: F401
+        return _deform_conv2d_banded_diff(x, offset, mask, weight, bias,
+                                          padding)
     return _deform_conv2d_xla(x, offset, mask, weight, bias, padding)
+
+
+def deform_conv2d_onehot(x, offset, mask, weight, bias, padding: int = 1):
+    """The one-hot-matmul route with remat (the pre-banded TPU default;
+    kept for comparison benchmarks and as the backward recipe)."""
+    # Rematerialize in the backward pass: the per-position gathered maps
+    # are (B·K², HW, Cin) with a small minor dim that XLA tile-pads up to
+    # 8× — saving them as autodiff residuals across all mask-head layers
+    # blows HBM (observed 25 GB at train shapes).
+    return jax.checkpoint(
+        lambda *a: _deform_conv2d_pallas(*a, padding))(
+        x, offset, mask, weight, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _deform_conv2d_banded_diff(x, offset, mask, weight, bias, padding):
+    from .deform_conv_banded import deform_conv2d_banded
+    return deform_conv2d_banded(x, offset, mask, weight, bias, padding)
+
+
+def _banded_diff_fwd(x, offset, mask, weight, bias, padding):
+    from .deform_conv_banded import deform_conv2d_banded
+    return (deform_conv2d_banded(x, offset, mask, weight, bias, padding),
+            (x, offset, mask, weight, bias))
+
+
+def _banded_diff_bwd(padding, res, g):
+    # gradients through the differentiable one-hot route (recomputes its
+    # forward — the training path rematerialized here before as well)
+    _, vjp = jax.vjp(lambda *a: _deform_conv2d_pallas(*a, padding), *res)
+    return vjp(g)
+
+
+_deform_conv2d_banded_diff.defvjp(_banded_diff_fwd, _banded_diff_bwd)
 
 
 def _deform_conv2d_pallas(x, offset, mask, weight, bias, padding=1):

@@ -1,4 +1,4 @@
-"""Banded modulated deformable convolution — the mask-head hot path.
+"""Banded (rebased-window) modulated deformable convolution — mask-head hot path.
 
 The one-hot-matmul route (`deform_conv.py::_deform_conv2d_pallas`) streams a
 window-span's worth of one-hot weight rows through the MXU for EVERY
@@ -6,40 +6,48 @@ window-span's worth of one-hot weight rows through the MXU for EVERY
 selection overhead for ~0.2 ms of useful MACs, because a 3×3 deformable conv
 only ever samples a narrow band around each output pixel.
 
-This kernel exploits that structure directly (reference semantics:
-`torchvision.ops.deform_conv2d` as used by
-`/root/reference/src/models/deformable_segmentation.py:244-267`):
+This kernel computes the reference semantics
+(`torchvision.ops.deform_conv2d`, used by
+`/root/reference/src/models/deformable_segmentation.py:244-267`)
 
     out(p) = Σ_k m_k(p) · bilinear(x, p + k + Δ_k(p)) @ W_k
 
-For |Δ| ≤ band, the bilinear taps of position k live in the static shift
-window  k + [-band, band+1]²  around p. Writing the bilinear weight as a
-separable tent,  w(t) = tent(Δy − ay) · tent(Δx − ax),  the gather becomes a
-sum of STATIC shifted slices of the (per-position channel-premixed) feature
-map with per-pixel tent weights — pure VPU FMAs, no gathers, no one-hot
-tiles. Candidate shifts whose tent weights vanish over the whole row-block
-are skipped at runtime (`pl.when`), so the common case (small learned
-offsets; exactly zero at the reference's zero-init, L250-256) does only
-live-tap work: ~4–9 FMA passes per position instead of (2·band+2)².
+as a BRANCH-FREE sum of statically-shifted slices:
+
+  * Per (instance, kernel position) an integer ROW rebase by =
+    round(mean Δy_k) is computed in XLA and folded into the position's
+    window DMA start (row-granular DMA offsets are 128-aligned and free;
+    column offsets are not, so the x axis is covered by the static window
+    alone).
+  * The bilinear weight is a separable tent, tent(Δy−ay)·tent(Δx−ax); after
+    rebasing, the residual offsets concentrate near 0, so a small STATIC
+    candidate window (ncand per axis, default 4: shifts −1..+2 around the
+    base) covers the taps. Each candidate pair is one unconditional
+    broadcast-FMA of a static slice — no gathers, no one-hot tiles, and no
+    `pl.when` (measured ~1 µs per conditional region on v5e made every
+    per-candidate gating structure slower than just doing the FMAs).
+  * The per-position channel premix U = W_kᵀ @ x̃ runs on the MXU inside the
+    kernel — no ×K² HBM materialization.
 
 Layout: everything is pre-flattened to 2D (channels, rows·Wp) with Wp a
-128-multiple so the kernel contains no shape casts: x is zero-padded by
-`m = band + 2` (zero padding ⇒ out-of-image taps contribute 0, exactly the
-reference's convention) and stored (B, Cin, Hp·Wp); a row-block slice is one
-contiguous lane range (manual async copy — row blocks overlap by the halo).
-The premix U_k = W_kᵀ @ x̃ runs on the MXU per position inside the kernel
-(no ×K² HBM materialization); a shift (a, c) is the single static lane
-offset (a+ky+m)·Wp + (c+kx+m); tent maps broadcast along the Cout sublanes.
+128-multiple so the kernel contains no unsupported shape casts; x is
+zero-padded by `margin` (zero padding ⇒ out-of-image taps contribute 0,
+exactly the reference's convention) and stored (B, Cin, Hp·Wp); each
+position's haloed window is one contiguous lane range copied with a manual
+async DMA whose start encodes the rebase (all 9 copies started before the
+first use — the premix/FMA work of earlier positions hides later DMAs).
 
-Exactness: identical to the reference for every tap whose learned offset
-satisfies |Δ| ≤ band (default 4 px); taps beyond the band are dropped
-(their true sample would require an unbounded gather). The mask head's
-offset convs are zero-initialized and trained offsets stay well inside the
-band; `band` is configurable per call.
+Exactness: identical to the reference for every tap whose offset satisfies
+|Δ − base| inside the candidate window (the base itself is clamped to
+±max_base). The mask head's offset convs are zero-initialized
+(reference L250-256) and trained offsets are smooth small fields, so the
+per-instance-mean rebase absorbs the bulk and residual spread < ~2 px holds
+in practice; taps beyond the window drop (their true sample would need an
+unbounded gather). `ncand`/`max_base` are configurable per call.
 
-Differentiation: the kernel is forward-only; `deform_conv.deform_conv2d`
-dispatches to it for inference and pairs it with the differentiable one-hot
-route's VJP for training.
+Differentiation: forward-only; `deform_conv.deform_conv2d` dispatches here
+for inference and pairs it with the differentiable one-hot route's VJP for
+training.
 """
 from __future__ import annotations
 
@@ -59,86 +67,96 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-def _banded_kernel(live_ref, off_ref, mod_ref, w_ref, x_hbm, out_ref, x_vmem,
-                   acc_ref, uc_ref, sem, *, Cin: int, Cout: int, R: int,
-                   Wp: int, m: int, band: int, K: int, padding: int):
+def _banded_kernel(base_ref, off_ref, mod_ref, w_ref, x_hbm, out_ref,
+                   acc_ref, *xw, Cin: int, Cout: int, R: int, Wp: int,
+                   margin: int, ncand: int, K: int, padding: int):
+    """One (instance, row-block) step: K² rebased window DMAs (started
+    upfront), per-position MXU premix, ncand² unconditional tent FMAs."""
+    KK = K * K
+    x_refs, sems = xw[:KK], xw[KK:]
     b = pl.program_id(0)
     hb = pl.program_id(1)
-    rows_ext = R + 2 * m
-    n_ext = rows_ext * Wp
-    nc = 2 * band + 2
-    # one slack row: corner shifts for (discarded) pad-column outputs read up
-    # to 2m lanes past rows_ext·Wp — keep the slices in bounds and zeroed
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(hb * R * Wp, n_ext)],
-        x_vmem.at[:, :n_ext], sem)
-    cp.start()
-    x_vmem[:, n_ext:] = jnp.zeros((Cin, Wp), x_vmem.dtype)
-    cp.wait()
+    rows_win = R + ncand + 1   # +1 row: column-window overrun slack
+    n_win = rows_win * Wp
+
+    copies = []
+    lo = (ncand - 1) // 2
+    for k in range(KK):
+        ky = k // K - padding
+        by = base_ref[0, 0, k, 0]
+        # window start row: out row hb·R, candidate j=0 ⇒ padded row
+        # hb·R + margin + ky + by − lo. Only the ROW rebase can ride the DMA
+        # (Mosaic requires 128-aligned lane offsets; row steps are ×Wp, a
+        # 128-multiple) — column offsets stay static, handled by the window.
+        start = (hb * R + margin + ky - lo + by) * Wp
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(start, n_win)], x_refs[k], sems[k])
+        cp.start()
+        copies.append(cp)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     N = R * Wp
-    n_rows = rows_ext * Wp
-    for k in range(K * K):
-        ky = k // K - padding
-        kx = k % K - padding
-        # premix: U_k = W_kᵀ @ x̃  (Cout, (rows_ext+1)·Wp), MXU. True-f32
-        # multiplies on the f32 (parity/debug) path — TPU f32 dots default to
-        # bf16 passes; the bf16 inference path is unaffected.
+    for k in range(KK):
+        copies[k].wait()
+        # premix: U_k = W_kᵀ @ x̃_k  (Cout, rows_win·Wp), MXU. True-f32
+        # multiplies on the f32 (parity/debug) path — TPU f32 dots default
+        # to bf16 passes; the bf16 inference path is unaffected.
         u = jax.lax.dot_general(
-            w_ref[k], x_vmem[...],
+            w_ref[k], x_refs[k][...],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=(jax.lax.Precision.HIGHEST
-                       if x_vmem.dtype == jnp.float32 else None))
-        dy = off_ref[0, 2 * k:2 * k + 1, :]       # (1, R·Wp)
-        dx = off_ref[0, 2 * k + 1:2 * k + 2, :]
+                       if x_refs[k].dtype == jnp.float32 else None))
+        byf = base_ref[0, 0, k, 0].astype(jnp.float32)
+        dy = off_ref[0, 2 * k:2 * k + 1, :] - byf     # y residual offsets
+        dx = off_ref[0, 2 * k + 1:2 * k + 2, :]       # x has no rebase
         mk = mod_ref[0, k:k + 1, :]
 
-        # candidate liveness comes precomputed from SMEM (block-level
-        # interval tests done in XLA) — no in-kernel vector→scalar reduces.
-        # Column shifts are hoisted: ONE unaligned (relayout-costly) copy per
-        # live column candidate; the per-pair row shift is then a
-        # lane-ALIGNED slice (multiples of Wp, itself a 128-multiple).
-        for ci, c in enumerate(range(-band, band + 2)):
-            @pl.when(live_ref[0, 0, k * 2 * nc + nc + ci, 0] != 0)
-            def _(c=c, ci=ci):
-                col0 = kx + c + m
-                uc_ref[:] = u[:, col0:col0 + n_rows]
-                wxc = jnp.maximum(0.0, 1.0 - jnp.abs(dx - c)) * mk
-                for ai, a in enumerate(range(-band, band + 2)):
-                    row0 = (ky + a + m) * Wp
-
-                    @pl.when(live_ref[0, 0, k * 2 * nc + ai, 0] != 0)
-                    def _(row0=row0, a=a, wxc=wxc):
-                        wya = jnp.maximum(0.0, 1.0 - jnp.abs(dy - a))
-                        acc_ref[:] += (wya * wxc) * uc_ref[:, row0:row0 + N]
+        kx = k % K - padding
+        col0 = margin + kx - lo
+        # hoist the unaligned column shifts: one relayout per l, then every
+        # (j, l) pair is a lane-ALIGNED row slice
+        uls = [u[:, col0 + l:col0 + l + (R + ncand) * Wp]
+               for l in range(ncand)]
+        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - (l - lo))) * mk
+               for l in range(ncand)]
+        for j in range(ncand):
+            wyj = jnp.maximum(0.0, 1.0 - jnp.abs(dy - (j - lo)))
+            for l in range(ncand):
+                w = wyj * wxs[l]
+                acc_ref[:] += w * uls[l][:, j * Wp:j * Wp + N]
 
     out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _deform_conv2d_banded_impl(x, offset, mask, weight, bias, padding: int,
-                               band: int, row_block: int):
+                               ncand: int, max_base: int, row_block: int):
     """x (B,H,W,Cin); offset (B,H,W,2KK) (y,x); mask (B,H,W,KK);
     weight (K,K,Cin,Cout); bias (Cout,). Returns (B,H,W,Cout)."""
     B, H, W, Cin = x.shape
     K = weight.shape[0]
     KK = K * K
     Cout = weight.shape[-1]
-    m = band + 2
+    # margin covers base (±max_base) + kernel (±padding) + candidates
+    # (−1 .. ncand−2) + the bilinear neighbour
+    margin = max_base + ncand + padding
     R = min(row_block, _round_up(H, 8))
     H_r = _round_up(H, R)
-    Wp = _round_up(W + 2 * m, 128)
+    Wp = _round_up(W + 2 * margin, 128)
 
-    # (B, Cin, (H_r + 2m)·Wp) flattened, zero-padded: rows [m, m+H) and cols
-    # [m, m+W) hold the image — zero padding == the reference's rule.
+    # (B, Cin, (H_r + 2·margin + 1)·Wp) flattened, zero-padded: rows
+    # [margin, margin+H) and cols [margin, margin+W) hold the image — zero
+    # padding == the reference's out-of-image rule; one slack row keeps the
+    # (discarded) pad-column outputs' reads in bounds.
     x_t = jnp.transpose(x, (0, 3, 1, 2))
-    x_p = jnp.pad(x_t, ((0, 0), (0, 0), (m, H_r - H + m), (m, Wp - W - m)))
-    x_p = x_p.reshape(B, Cin, (H_r + 2 * m) * Wp)
+    x_p = jnp.pad(x_t, ((0, 0), (0, 0),
+                        (margin, H_r - H + margin + 1),
+                        (margin, Wp - W - margin)))
+    x_p = x_p.reshape(B, Cin, (H_r + 2 * margin + 1) * Wp)
 
-    # per-pixel offset/modulation maps, flattened (B, ch, H_r·Wp); padding
-    # region gets zeros — those outputs are discarded
+    # per-pixel offset/modulation maps, flattened (B, ch, H_r·Wp); the
+    # padding region gets zeros — those outputs are discarded
     off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
     off_p = jnp.pad(off_t, ((0, 0), (0, 0), (0, H_r - H), (0, Wp - W)))
     off_p = off_p.reshape(B, 2 * KK, H_r * Wp)
@@ -148,29 +166,21 @@ def _deform_conv2d_banded_impl(x, offset, mask, weight, bias, padding: int,
 
     w_r = weight.reshape(KK, Cin, Cout).astype(x.dtype)
 
+    # per-(instance, position) integer Y rebase = round(mean y-offset over
+    # the real pixels), clamped to keep the DMA inside the padded buffer
+    offy_mean = jnp.mean(off_t[:, 0::2].reshape(B, KK, -1), axis=-1)
+    base = jnp.clip(jnp.round(offy_mean), -max_base, max_base) \
+        .astype(jnp.int32).reshape(B, 1, KK, 1)
+
     R_lanes = R * Wp
-    # block-level candidate liveness (SMEM scalars for the kernel): candidate
-    # a is live iff the open tent support (a-1, a+1) intersects the block's
-    # offset range [dmin, dmax]; tent(d - a) > 0 ⇔ |d - a| < 1
-    nc = 2 * band + 2
-    off_blk = off_p.reshape(B, 2 * KK, H_r // R, R_lanes)
-    dmin = jnp.min(off_blk, axis=-1)                  # (B, 2KK, nblocks)
-    dmax = jnp.max(off_blk, axis=-1)
-    cand = jnp.arange(-band, band + 2, dtype=jnp.float32)
-    live = ((dmin[..., None] < cand + 1) &
-            (dmax[..., None] > cand - 1)).astype(jnp.int32)
-    # (B, nblocks, KK, 2, nc) → per k: [live_y(nc), live_x(nc)]
-    live = jnp.transpose(live.reshape(B, KK, 2, H_r // R, nc),
-                         (0, 3, 1, 2, 4)).reshape(B, H_r // R,
-                                                  KK * 2 * nc, 1)
     kernel = functools.partial(
-        _banded_kernel, Cin=Cin, Cout=Cout, R=R, Wp=Wp, m=m, band=band,
-        K=K, padding=padding)
+        _banded_kernel, Cin=Cin, Cout=Cout, R=R, Wp=Wp, margin=margin,
+        ncand=ncand, K=K, padding=padding)
     out = pl.pallas_call(
         kernel,
         grid=(B, H_r // R),
         in_specs=[
-            pl.BlockSpec((1, 1, KK * 2 * nc, 1), lambda b, hb: (b, hb, 0, 0),
+            pl.BlockSpec((1, 1, KK, 1), lambda b, hb: (b, 0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2 * KK, R_lanes), lambda b, hb: (b, 0, hb),
                          memory_space=pltpu.VMEM),
@@ -178,21 +188,21 @@ def _deform_conv2d_banded_impl(x, offset, mask, weight, bias, padding: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((KK, Cin, Cout), lambda b, hb: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec((1, Cout, R_lanes), lambda b, hb: (b, 0, hb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Cout, H_r * Wp), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((Cin, (R + 2 * m + 1) * Wp), x.dtype),
-            pltpu.VMEM((Cout, R_lanes), jnp.float32),
-            pltpu.VMEM((Cout, (R + 2 * m) * Wp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((Cout, R_lanes), jnp.float32)]
+            + [pltpu.VMEM((Cin, (R + ncand + 1) * Wp), x.dtype)
+               for _ in range(KK)]
+            + [pltpu.SemaphoreType.DMA for _ in range(KK)]
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(live, off_p, mod_p, w_r, x_p)
+    )(base, off_p, mod_p, w_r, x_p)
 
     out = out.reshape(B, Cout, H_r, Wp)[:, :, :H, :W]
     out = jnp.transpose(out, (0, 2, 3, 1))
@@ -200,8 +210,10 @@ def _deform_conv2d_banded_impl(x, offset, mask, weight, bias, padding: int,
 
 
 def deform_conv2d_banded(x, offset, mask, weight, bias, padding: int = 1,
-                         band: int = 4, row_block: int = 32):
-    """Forward-only banded modulated deformable conv (see module docstring).
-    Exact vs the reference for |offset| ≤ band; out-of-band taps drop."""
+                         ncand: int = 4, max_base: int = 8,
+                         row_block: int = 32):
+    """Forward-only rebased-window deformable conv (see module docstring).
+    Exact vs the reference while each position's offsets stay within the
+    candidate window around the per-instance mean; far taps drop."""
     return _deform_conv2d_banded_impl(x, offset, mask, weight, bias,
-                                      padding, band, row_block)
+                                      padding, ncand, max_base, row_block)

@@ -53,13 +53,39 @@ def test_deform_conv_vs_oracle(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-def test_deform_conv_pallas_matches_xla(rng):
-    """The Pallas path (K×K MSDA gathers + channel mixes) must match the
-    jnp-gather path exactly."""
-    from devis_tpu.ops.deform_conv import deform_conv2d as dc
+def test_deform_conv_onehot_matches_xla(rng):
+    """The one-hot Pallas route (K×K MSDA gathers + channel mixes) must match
+    the jnp-gather path exactly, for ANY offsets."""
+    from devis_tpu.ops.deform_conv import deform_conv2d_onehot
+    from devis_tpu.ops.ms_deform_attn import resolve_impl
+
+    def dc(x, o, m, w, b, impl):
+        if impl == "pallas":
+            return deform_conv2d_onehot(x, o, m, w, b)
+        from devis_tpu.ops.deform_conv import _deform_conv2d_xla
+        return _deform_conv2d_xla(x, o, m, w, b)
+
     B, H, W, Cin, Cout, K = 2, 9, 11, 8, 6, 3
     x = rng.randn(B, H, W, Cin).astype(np.float32)
     offset = (rng.randn(B, H, W, 2 * K * K) * 1.5).astype(np.float32)
+    mask = rng.rand(B, H, W, K * K).astype(np.float32)
+    weight = (rng.randn(K, K, Cin, Cout) * 0.2).astype(np.float32)
+    bias = rng.randn(Cout).astype(np.float32)
+    args = (jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias))
+    got = np.asarray(dc(*args, impl="pallas"))
+    want = np.asarray(dc(*args, impl="xla"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_deform_conv_dispatch_matches_xla_in_window(rng):
+    """The default TPU dispatch (banded forward) matches the jnp-gather path
+    for offsets inside the rebased candidate window."""
+    from devis_tpu.ops.deform_conv import deform_conv2d as dc
+    B, H, W, Cin, Cout, K = 2, 9, 11, 8, 6, 3
+    x = rng.randn(B, H, W, Cin).astype(np.float32)
+    offset = (rng.randn(B, H, W, 2 * K * K) * 0.6).clip(-0.9, 1.85) \
+        .astype(np.float32)
     mask = rng.rand(B, H, W, K * K).astype(np.float32)
     weight = (rng.randn(K, K, Cin, Cout) * 0.2).astype(np.float32)
     bias = rng.randn(Cout).astype(np.float32)

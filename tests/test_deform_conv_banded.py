@@ -1,6 +1,8 @@
-"""Banded deformable-conv kernel parity vs the jnp-gather oracle (CPU
-interpret mode; the same cases are exercised on real TPU hardware — see
-docs/PERFORMANCE.md)."""
+"""Rebased-window deformable-conv kernel parity vs the jnp-gather oracle
+(CPU interpret mode; the same cases are exercised on real TPU hardware —
+see docs/PERFORMANCE.md). The kernel is exact when each position's offsets
+stay within the candidate window around the per-instance mean y-offset
+(rows are rebased; columns use the static window alone)."""
 import numpy as np
 
 import jax.numpy as jnp
@@ -9,10 +11,12 @@ from devis_tpu.ops.deform_conv import _deform_conv2d_xla
 from devis_tpu.ops.deform_conv_banded import deform_conv2d_banded
 
 
-def _case(rng, B, H, W, Cin, Cout, off_scale, K=3):
+def _case(rng, B, H, W, Cin, Cout, scale, shift_y=0.0, lo=0.9, hi=1.85, K=3):
     x = rng.randn(B, H, W, Cin).astype(np.float32)
-    offset = (rng.randn(B, H, W, 2 * K * K) * off_scale) \
-        .clip(-3.9, 3.9).astype(np.float32)
+    offset = np.zeros((B, H, W, 2 * K * K), np.float32)
+    offset[..., 0::2] = shift_y + (rng.randn(B, H, W, K * K)
+                                   * scale).clip(-lo, hi)
+    offset[..., 1::2] = (rng.randn(B, H, W, K * K) * scale).clip(-lo, hi)
     mask = rng.rand(B, H, W, K * K).astype(np.float32)
     weight = (rng.randn(K, K, Cin, Cout) * 0.2).astype(np.float32)
     bias = rng.randn(Cout).astype(np.float32)
@@ -20,42 +24,51 @@ def _case(rng, B, H, W, Cin, Cout, off_scale, K=3):
 
 
 def test_banded_matches_oracle_random_offsets(rng):
-    args = _case(rng, 2, 30, 46, 8, 4, off_scale=1.5)
+    args = _case(rng, 2, 30, 46, 8, 4, scale=0.6)
     got = np.asarray(deform_conv2d_banded(*args))
     want = np.asarray(_deform_conv2d_xla(*args))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-def test_banded_matches_oracle_zero_offsets(rng):
-    args = _case(rng, 1, 8, 8, 4, 3, off_scale=0.0)
+def test_banded_zero_offsets(rng):
+    args = _case(rng, 1, 8, 8, 4, 3, scale=0.0)
     got = np.asarray(deform_conv2d_banded(*args))
     want = np.asarray(_deform_conv2d_xla(*args))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-def test_banded_near_band_limit(rng):
-    """Offsets right at the band edge (|Δ| < band) stay exact."""
-    args = _case(rng, 1, 12, 18, 4, 4, off_scale=3.0)
-    got = np.asarray(deform_conv2d_banded(*args))
+def test_banded_large_mean_y_offset_rebased(rng):
+    """Large shared y-offsets are absorbed by the per-instance row rebase."""
+    for shift in (5.0, -7.0):
+        args = _case(rng, 1, 16, 20, 4, 3, scale=0.5, shift_y=shift)
+        got = np.asarray(deform_conv2d_banded(*args))
+        want = np.asarray(_deform_conv2d_xla(*args))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_banded_wider_window_ncand6(rng):
+    """ncand=6 covers residuals in [-2, 3)."""
+    args = _case(rng, 1, 12, 18, 4, 4, scale=1.2, lo=1.9, hi=2.85)
+    got = np.asarray(deform_conv2d_banded(*args, ncand=6))
     want = np.asarray(_deform_conv2d_xla(*args))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_banded_multirow_blocks(rng):
     """H larger than the row block exercises the halo'd block DMA path."""
-    args = _case(rng, 1, 70, 30, 6, 5, off_scale=2.0)
+    args = _case(rng, 1, 70, 30, 6, 5, scale=0.6)
     got = np.asarray(deform_conv2d_banded(*args, row_block=16))
     want = np.asarray(_deform_conv2d_xla(*args))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-def test_banded_out_of_band_taps_drop(rng):
-    """Offsets beyond the band are DROPPED (documented deviation): the result
-    must equal the oracle evaluated with those taps' weights zeroed."""
+def test_banded_out_of_window_taps_drop(rng):
+    """Offsets beyond the candidate window are DROPPED (documented
+    deviation): the result equals the oracle with those taps zeroed."""
     B, H, W, Cin, Cout, K = 1, 10, 14, 4, 3, 3
     x = rng.randn(B, H, W, Cin).astype(np.float32)
     offset = np.zeros((B, H, W, 2 * K * K), np.float32)
-    offset[:, 5, 7, 0] = 6.5          # position 0 y-offset far out of band
+    offset[:, 5, 7, 1] = 6.5          # position 0 x-offset far out of window
     mask = np.ones((B, H, W, K * K), np.float32)
     weight = (rng.randn(K, K, Cin, Cout) * 0.2).astype(np.float32)
     bias = np.zeros(Cout, np.float32)
