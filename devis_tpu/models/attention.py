@@ -302,8 +302,9 @@ class TemporalMSDeformAttnEncoder(TemporalMSDeformAttnBase):
         normalization) runs in transposed space — no q-major loc/att
         materialization or per-call transpose chain (the dominant per-layer
         XLA glue; see docs/PERFORMANCE.md)."""
-        from ..ops.ms_deform_attn_pallas import (Q_TILE, _round_up,
-                                                 ms_deform_attn_rows_auto)
+        from ..ops.ms_deform_attn_pallas import (
+            Q_TILE, _round_up, level_groups, ms_deform_attn_rows_auto,
+            ms_deform_attn_rows_temporal, temporal_frame_rule)
         T, Q, _ = query.shape
         S = input_flatten.shape[1]
         M, L = self.n_heads, self.n_levels
@@ -312,11 +313,18 @@ class TemporalMSDeformAttnEncoder(TemporalMSDeformAttnBase):
         spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
 
         value = self._value(input_flatten, padding_mask)
-        frame_index = _temporal_frame_index(T, self.t_window, self.connect_all)
-        t_value = self.stack_temporal_values(value, frame_index)
-        fused_value = jnp.concatenate([value, t_value], axis=1)
         t_shapes = make_temporal_shapes(spatial_shapes, W)
         fused_shapes = spatial_shapes + t_shapes
+        # Per-frame packed values via the multi-operand temporal kernel — no
+        # W× stacked-value materialization. Very large pyramids that need
+        # VMEM level grouping fall back to the stacked rows path.
+        use_temporal_op = len(level_groups(
+            fused_shapes, D, jnp.dtype(value.dtype).itemsize)) == 1
+        if not use_temporal_op:
+            frame_index = _temporal_frame_index(T, self.t_window,
+                                                self.connect_all)
+            t_value = self.stack_temporal_values(value, frame_index)
+            fused_value = jnp.concatenate([value, t_value], axis=1)
 
         c_off = self._sampling_offsets_dense()(query)
         t_off = self._temporal_sampling_offsets_dense()(query)
@@ -370,7 +378,13 @@ class TemporalMSDeformAttnEncoder(TemporalMSDeformAttnBase):
             lx = jnp.pad(lx, qp, constant_values=-10.0)
             ly = jnp.pad(ly, qp, constant_values=-10.0)
             at = jnp.pad(at, qp)
-        out = ms_deform_attn_rows_auto(fused_value, fused_shapes, lx, ly, at, Q)
+        if use_temporal_op:
+            rule = temporal_frame_rule(T, self.t_window, self.connect_all)
+            out = ms_deform_attn_rows_temporal(value, spatial_shapes, lx, ly,
+                                               at, Q, rule, q_tile)
+        else:
+            out = ms_deform_attn_rows_auto(fused_value, fused_shapes, lx, ly,
+                                           at, Q)
         return self._output(out)
 
 
@@ -398,7 +412,6 @@ class TemporalMSDeformAttnDecoder(TemporalMSDeformAttnBase):
                                            spatial_shapes, self.n_curr_points)
 
         frame_index = _temporal_frame_index(T, W, True)
-        t_value = self.stack_temporal_values(value, frame_index)
         t_shapes = make_temporal_shapes(spatial_shapes, W)
 
         L = self.n_levels
@@ -421,15 +434,29 @@ class TemporalMSDeformAttnDecoder(TemporalMSDeformAttnBase):
         self.sow("intermediates", "viz_temporal_sampling_locations", loc_t)
         self.sow("intermediates", "viz_temporal_attention_weights", att_t)
 
+        from ..ops.ms_deform_attn import resolve_impl
+        from ..ops.ms_deform_attn_pallas import (level_groups,
+                                                 ms_deform_attn_temporal)
+        spatial_shapes_t = tuple((int(h), int(w)) for h, w in spatial_shapes)
+        fused_shapes = spatial_shapes_t + t_shapes
+        D = self.d_model // self.n_heads
         if self.n_curr_points == self.n_temporal_points:
-            # One fused kernel call (see the encoder variant).
-            fused_value = jnp.concatenate([value, t_value], axis=1)
-            fused = ms_deform_attn(
-                fused_value, tuple(spatial_shapes) + t_shapes,
-                jnp.concatenate([loc_c, loc_t], axis=3),
-                jnp.concatenate([att_c, att_t], axis=3), impl=self.impl)
+            loc = jnp.concatenate([loc_c, loc_t], axis=3)
+            att = jnp.concatenate([att_c, att_t], axis=3)
+            if (resolve_impl(self.impl) == "pallas"
+                    and len(level_groups(fused_shapes, D,
+                                         jnp.dtype(value.dtype).itemsize)) == 1):
+                # Per-frame packed values, no W× stacked replication.
+                fused = ms_deform_attn_temporal(value, spatial_shapes_t,
+                                                loc, att, ("all",))
+            else:
+                t_value = self.stack_temporal_values(value, frame_index)
+                fused_value = jnp.concatenate([value, t_value], axis=1)
+                fused = ms_deform_attn(fused_value, fused_shapes, loc, att,
+                                       impl=self.impl)
             return self._output(fused).reshape(1, T * Lq, C)
 
+        t_value = self.stack_temporal_values(value, frame_index)
         out_c = ms_deform_attn(value, spatial_shapes, loc_c, att_c,
                                impl=self.impl)
         out_t = ms_deform_attn(t_value, t_shapes, loc_t, att_t, impl=self.impl)

@@ -765,6 +765,285 @@ ms_deform_attn_rows.defvjp(_rows_fwd_fwd, _rows_fwd_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Temporal multi-operand op: per-frame packed values, no stacked replication
+# ---------------------------------------------------------------------------
+#
+# The DeVIS temporal attention samples, for query frame t, the current frame's
+# L levels plus the SAME L levels of W other frames. Materializing that as a
+# stacked (T, (1+W)·S) value (reference devis_transformer.py's
+# `value[temporal_frames].flatten(0,1)`) replicates every frame ~W times and
+# re-packs the replicas per layer — measured ~20 ms/clip of pure HBM traffic.
+# Here the kernel instead receives the per-frame packed value ONCE and maps
+# each grid row's (1+W) value blocks onto it with closed-form frame index
+# maps, so the replication never exists in memory:
+#   * connect-all  (rule ("all",)): j-th temporal frame of t = j + (j >= t)
+#   * sliding window (rule ("window", offsets)): t+o with edge reflection
+# (reference devis_transformer.py:96-112 — both connectivities).
+
+
+def _temporal_frame_expr(rule, j, t, T: int):
+    """Traced scalar: absolute source frame of temporal slot j for frame t."""
+    if rule[0] == "all":
+        return j + jnp.where(t <= j, 1, 0)
+    o = rule[1][j]
+    cand = t + o
+    return jnp.where((cand < 0) | (cand > T - 1), t - o, cand)
+
+
+def temporal_frame_rule(n_frames: int, t_window: int, connect_all: bool):
+    """Static frame rule matching `_temporal_frame_index` in models/attention."""
+    if connect_all:
+        return ("all",)
+    rel = tuple(o for o in range(-t_window // 2, t_window // 2 + 1) if o != 0)
+    return ("window", rel)
+
+
+def _rule_window(rule, T: int) -> int:
+    return (T - 1) if rule[0] == "all" else len(rule[1])
+
+
+def _fwd_kernel_temporal(ranges_ref, *refs, spatial_shapes, level_starts,
+                         s_tile: int, P: int, acc_dtype, F: int):
+    """`_fwd_kernel_fused` with F per-frame value operand pairs: global level
+    lvl maps to value operand lvl // L at local level lvl % L."""
+    ve_refs = refs[:F]
+    vo_refs = refs[F:2 * F]
+    lx_ref, ly_ref, at_ref, out_ref, we_ref, wo_ref = refs[2 * F:]
+    L = len(spatial_shapes)
+    D = out_ref.shape[1]
+    Qt = out_ref.shape[2]
+    rows0 = jax.lax.broadcasted_iota(
+        jnp.int32, (s_tile, Qt), 0).astype(jnp.float32)
+    acc_e = jnp.zeros((D, Qt), jnp.float32)
+    acc_o = jnp.zeros((D, Qt), jnp.float32)
+
+    for lvl in range(F * L):
+        ll = lvl % L
+        h, w = spatial_shapes[ll]
+        ve_ref = ve_refs[lvl // L]
+        vo_ref = vo_refs[lvl // L]
+        lx = lx_ref[0, lvl * P:(lvl + 1) * P, :]
+        ly = ly_ref[0, lvl * P:(lvl + 1) * P, :]
+        at = at_ref[0, lvl * P:(lvl + 1) * P, :]
+        entries = _level_entries(lx, ly, at, h, w)
+        base_w = ranges_ref[0, 0, lvl, 0]
+        num_t = ranges_ref[0, 0, lvl, 1]
+
+        def body(t, accs, ll=ll, entries=entries, base_w=base_w,
+                 ve_ref=ve_ref, vo_ref=vo_ref):
+            acc_e, acc_o = accs
+            s0 = pl.multiple_of(base_w + t * s_tile, 8)
+            vte = ve_ref[0, pl.ds(level_starts[ll] + s0, s_tile), :]
+            vto = vo_ref[0, pl.ds(level_starts[ll] + s0, s_tile), :]
+            cols = rows0 + s0.astype(jnp.float32)
+            we_ref[:] = jnp.zeros_like(we_ref)
+            wo_ref[:] = jnp.zeros_like(wo_ref)
+            zero = jnp.zeros((), we_ref.dtype)
+            for ide, wte, ido, wto in entries:
+                for p in range(P):
+                    we_ref[:] += jnp.where(ide[p:p + 1, :] == cols,
+                                           wte[p:p + 1, :], zero)
+                    wo_ref[:] += jnp.where(ido[p:p + 1, :] == cols,
+                                           wto[p:p + 1, :], zero)
+            acc_e = acc_e + jax.lax.dot_general(
+                vte.astype(acc_dtype), we_ref[:].astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_o = acc_o + jax.lax.dot_general(
+                vto.astype(acc_dtype), wo_ref[:].astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc_e, acc_o
+
+        acc_e, acc_o = jax.lax.fori_loop(0, num_t, body, (acc_e, acc_o))
+    out_ref[0] = (acc_e + acc_o).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
+def _fwd_call_temporal(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
+                       ranges, q_tile: int, s_tile: int, T: int, rule):
+    """value_e/value_o: (T·M, S_pad, D) per-frame parity-packed;
+    lx/ly/at: (T·M, Lf·P, q_pad) rows over the fused (current + temporal)
+    level stack, Lf = (1+W)·L."""
+    TM, S_pad, D = value_e.shape
+    M = TM // T
+    W = _rule_window(rule, T)
+    F = 1 + W
+    LP, q_pad = lx.shape[1], lx.shape[2]
+    Lf = ranges.shape[2]
+    L = len(spatial_shapes)
+    assert Lf == F * L, (Lf, F, L)
+    P = LP // Lf
+    level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
+    acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
+        else jnp.float32
+    ranges_spec = pl.BlockSpec((1, 1, Lf, 2), lambda bm, qt: (bm, qt, 0, 0),
+                               memory_space=pltpu.SMEM)
+
+    def _value_spec(j):
+        if j == 0:
+            return pl.BlockSpec((1, S_pad, D), lambda bm, qt: (bm, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def index_map(bm, qt, j=j - 1):
+            t = bm // M
+            f = _temporal_frame_expr(rule, j, t, T)
+            return (f * M + bm % M, 0, 0)
+        return pl.BlockSpec((1, S_pad, D), index_map,
+                            memory_space=pltpu.VMEM)
+
+    row_spec = pl.BlockSpec((1, LP, q_tile), lambda bm, qt: (bm, 0, qt),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_fwd_kernel_temporal,
+                               spatial_shapes=spatial_shapes,
+                               level_starts=level_starts,
+                               s_tile=s_tile, P=P, acc_dtype=acc_dtype, F=F)
+    specs = [_value_spec(j) for j in range(F)]
+    return pl.pallas_call(
+        kernel,
+        grid=(TM, q_pad // q_tile),
+        in_specs=[ranges_spec] + specs + specs
+        + [row_spec, row_spec, row_spec],
+        out_specs=pl.BlockSpec((1, D, q_tile), lambda bm, qt: (bm, 0, qt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TM, D, q_pad), value_e.dtype),
+        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
+                        pltpu.VMEM((s_tile, q_tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(ranges, *([value_e] * F), *([value_o] * F), lx, ly, at)
+
+
+def _temporal_frame_table(rule, T: int) -> np.ndarray:
+    """Concrete (T, W) frame-index table for the rule (backward pass)."""
+    W = _rule_window(rule, T)
+    rows = []
+    for t in range(T):
+        if rule[0] == "all":
+            rows.append([f for f in range(T) if f != t])
+        else:
+            rows.append([t - o if (t + o < 0 or t + o > T - 1) else t + o
+                         for o in rule[1]])
+    return np.asarray(rows, np.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7))
+def ms_deform_attn_rows_temporal(value, spatial_shapes: Shapes, lx, ly, at,
+                                 n_queries: int, rule=("all",),
+                                 q_tile: int = 0):
+    """Temporal rows-form attention over per-frame values.
+
+    value: (T, S, M, D) — ONE copy per frame (not the stacked replication);
+    lx/ly/at: (T·M, Lf·P, q_pad) rows over the fused level stack in
+    frame-major order: [current frame's L levels] + [W temporal frames × L].
+    Semantically identical to stacking `value[frame_table].flatten()` behind
+    the current frame and calling `ms_deform_attn_rows` — minus the ~W×
+    value materialization per call."""
+    out, _ = _temporal_fwd(value, spatial_shapes, lx, ly, at, n_queries,
+                           rule, q_tile)
+    return out
+
+
+def _temporal_fused_shapes(spatial_shapes: Shapes, F: int) -> Shapes:
+    return tuple(spatial_shapes) * F
+
+
+def _temporal_fwd(value, spatial_shapes, lx, ly, at, n_queries, rule, q_tile):
+    T, S, M, D = value.shape
+    LP, q_pad = lx.shape[1], lx.shape[2]
+    F = 1 + _rule_window(rule, T)
+    q_tile = q_tile or (128 if q_pad <= 128 else Q_TILE)
+    assert q_pad % q_tile == 0, (q_pad, q_tile)
+    fused_shapes = _temporal_fused_shapes(spatial_shapes, F)
+    ranges = _row_ranges(lx.astype(jnp.float32), ly.astype(jnp.float32),
+                         fused_shapes, q_tile, S_TILE, LP // len(fused_shapes))
+    value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(T * M, S, D)
+    value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
+    out_bm = _fwd_call_temporal(tuple(spatial_shapes), value_e, value_o,
+                                lx.astype(jnp.float32),
+                                ly.astype(jnp.float32),
+                                at.astype(jnp.float32), ranges, q_tile,
+                                S_TILE, T, rule)
+    out = out_bm.reshape(T, M, D, q_pad)[..., :n_queries]
+    out = jnp.transpose(out, (0, 3, 1, 2)).reshape(T, n_queries, M * D)
+    return out.astype(value.dtype), (value, lx, ly, at)
+
+
+def _temporal_fwd_fwd(value, spatial_shapes, lx, ly, at, n_queries,
+                      rule=("all",), q_tile=0):
+    return _temporal_fwd(value, spatial_shapes, lx, ly, at, n_queries,
+                         rule, q_tile)
+
+
+def _temporal_fwd_bwd(spatial_shapes, n_queries, rule, q_tile, res, g):
+    """Backward via the existing fused-value kernel: materialize the stacked
+    value (backward only — training still pays the gather once), run
+    `_bwd_call` over the fused level stack, then fold the per-slot value
+    grads back onto the frames with a tiny one-hot einsum (exact: the op is
+    linear in the value and each slot reads one whole frame)."""
+    value, lx, ly, at = res
+    T, S, M, D = value.shape
+    LP, q_pad = lx.shape[1], lx.shape[2]
+    F = 1 + _rule_window(rule, T)
+    q_tile = q_tile or (128 if q_pad <= 128 else Q_TILE)
+    fused_shapes = _temporal_fused_shapes(spatial_shapes, F)
+    Lf = len(fused_shapes)
+    table = _temporal_frame_table(rule, T)                   # (T, W)
+    slots = np.concatenate([np.arange(T)[:, None], table], axis=1)  # (T, F)
+
+    stacked = value[jnp.asarray(slots)]                      # (T, F, S, M, D)
+    stacked = stacked.reshape(T, F * S, M, D)
+    idx, wt = _taps_rows(fused_shapes, lx, ly, at)
+    ranges = _rows_tile_ranges(idx, wt, Lf, q_tile, S_TILE)
+    value_bm = jnp.transpose(stacked, (0, 2, 1, 3)).reshape(T * M, F * S, D)
+    value_e, value_o = _pack_levels(value_bm, fused_shapes, S_TILE)
+    g_bm = jnp.transpose(g.reshape(T, n_queries, M, D), (0, 2, 1, 3)) \
+        .reshape(T * M, n_queries, D)
+    g_bm = jnp.pad(g_bm, ((0, 0), (0, q_pad - n_queries), (0, 0))) \
+        .astype(value_e.dtype)
+    gve, gvo, gwt = _bwd_call(fused_shapes, value_e, value_o, idx, wt,
+                              ranges, g_bm, q_tile, S_TILE, 1)
+    gstack = _unpack_levels(gve, gvo, fused_shapes, S_TILE)
+    gstack = gstack.reshape(T, M, F, S, D)
+    onehot = jnp.asarray(slots[:, :, None] == np.arange(T)[None, None, :],
+                         jnp.float32)                        # (T, F, T)
+    gval = jnp.einsum("tjf,tmjsd->fsmd", onehot,
+                      gstack.astype(jnp.float32))
+    _, vjp = jax.vjp(lambda a, b, c: _taps_rows(fused_shapes, a, b, c)[1],
+                     lx, ly, at)
+    glx, gly, gat = vjp(gwt.astype(jnp.float32))
+    return (gval.astype(value.dtype), glx.astype(lx.dtype),
+            gly.astype(ly.dtype), gat.astype(at.dtype))
+
+
+ms_deform_attn_rows_temporal.defvjp(_temporal_fwd_fwd, _temporal_fwd_bwd)
+
+
+def ms_deform_attn_temporal(value, spatial_shapes: Shapes, loc, att,
+                            rule=("all",), q_tile: int = 0):
+    """Q-major convenience wrapper over `ms_deform_attn_rows_temporal`:
+    loc (T, Q, M, Lf, P, 2) / att (T, Q, M, Lf, P) over the fused level
+    stack; value (T, S, M, D) per-frame. Used by the decoder, whose query
+    count is small enough that the rows transposes are negligible."""
+    T, Q, M, Lf, P, _ = loc.shape
+    q_tile = q_tile or (128 if Q <= 128 else Q_TILE)
+    q_pad = _round_up(Q, q_tile)
+    locf = loc.astype(jnp.float32)
+    lx = jnp.transpose(locf[..., 0], (0, 2, 3, 4, 1)).reshape(T * M, Lf * P, Q)
+    ly = jnp.transpose(locf[..., 1], (0, 2, 3, 4, 1)).reshape(T * M, Lf * P, Q)
+    at = jnp.transpose(att.astype(jnp.float32),
+                       (0, 2, 3, 4, 1)).reshape(T * M, Lf * P, Q)
+    if q_pad != Q:
+        qp = ((0, 0), (0, 0), (0, q_pad - Q))
+        lx = jnp.pad(lx, qp, constant_values=-10.0)
+        ly = jnp.pad(ly, qp, constant_values=-10.0)
+        at = jnp.pad(at, qp)
+    return ms_deform_attn_rows_temporal(value, tuple(spatial_shapes), lx, ly,
+                                        at, Q, rule, q_tile)
+
+
+# ---------------------------------------------------------------------------
 # VMEM-bounded level grouping
 # ---------------------------------------------------------------------------
 

@@ -284,3 +284,70 @@ def test_level_grouping_matches_single_call(rng):
         mp.VMEM_VALUE_BUDGET = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-7)
+
+
+class TestTemporalOp:
+    """Per-frame multi-operand temporal op vs explicitly stacked values."""
+
+    def _case(self, rng, T=4, M=2, D=16, P=2, rule=("all",)):
+        from devis_tpu.ops.ms_deform_attn_pallas import (
+            _round_up, _temporal_frame_table, _rule_window)
+        L = len(SHAPES)
+        W = _rule_window(rule, T)
+        F = 1 + W
+        Lf = F * L
+        Q = 40
+        q_pad = _round_up(Q, 128)
+        value = jnp.asarray(rng.rand(T, S, M, D), jnp.float32)
+        lx = jnp.asarray(rng.rand(T * M, Lf * P, q_pad) * 1.2 - 0.1,
+                         jnp.float32)
+        ly = jnp.asarray(rng.rand(T * M, Lf * P, q_pad) * 1.2 - 0.1,
+                         jnp.float32)
+        at = jnp.asarray(rng.rand(T * M, Lf * P, q_pad), jnp.float32)
+        at = at / at.sum(axis=1, keepdims=True)
+        # padded queries: OOB location + zero attention
+        lx = lx.at[:, :, Q:].set(-10.0)
+        ly = ly.at[:, :, Q:].set(-10.0)
+        at = at.at[:, :, Q:].set(0.0)
+        table = _temporal_frame_table(rule, T)
+        return value, lx, ly, at, table, Q, F
+
+    def _stacked(self, value, table):
+        T = value.shape[0]
+        slots = np.concatenate([np.arange(T)[:, None], table], axis=1)
+        stacked = value[jnp.asarray(slots)]
+        return stacked.reshape(T, -1, *value.shape[2:])
+
+    @pytest.mark.parametrize("rule", [("all",), ("window", (-1, 1))])
+    def test_forward_matches_stacked(self, rng, rule):
+        from devis_tpu.ops.ms_deform_attn_pallas import (
+            ms_deform_attn_rows, ms_deform_attn_rows_temporal)
+        value, lx, ly, at, table, Q, F = self._case(rng, rule=rule)
+        out_t = ms_deform_attn_rows_temporal(value, SHAPES, lx, ly, at, Q,
+                                             rule)
+        fused = self._stacked(value, table)
+        out_s = ms_deform_attn_rows(fused, SHAPES * F, lx, ly, at, Q)
+        np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_s),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_grads_match_stacked(self, rng):
+        from devis_tpu.ops.ms_deform_attn_pallas import (
+            ms_deform_attn_rows, ms_deform_attn_rows_temporal)
+        rule = ("all",)
+        value, lx, ly, at, table, Q, F = self._case(rng, T=3, rule=rule)
+        T = value.shape[0]
+
+        def f_t(v, a, b, c):
+            return (ms_deform_attn_rows_temporal(v, SHAPES, a, b, c, Q,
+                                                 rule) ** 2).sum()
+
+        def f_s(v, a, b, c):
+            fused = self._stacked(v, table)
+            return (ms_deform_attn_rows(fused, SHAPES * F, a, b, c, Q)
+                    ** 2).sum()
+
+        g_t = jax.grad(f_t, argnums=(0, 1, 2, 3))(value, lx, ly, at)
+        g_s = jax.grad(f_s, argnums=(0, 1, 2, 3))(value, lx, ly, at)
+        for a, b in zip(g_t, g_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
