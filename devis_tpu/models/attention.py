@@ -89,6 +89,35 @@ def compute_sampling_locations(reference_points: jnp.ndarray,
                      f"{reference_points.shape[-1]}")
 
 
+class TransposedDense(nn.Module):
+    """`nn.Dense` twin with identical parameter names/shapes (kernel
+    (in, features), bias (features,)) applied in transposed form: takes the
+    q-major (T, Q, C) input but produces (T, features, Q) via
+    `einsum('co,tqc->toq')`, so projection outputs are born in the Pallas
+    kernel's rows layout with no transpose copy. With `split_xy`, the even
+    and odd output channels (x/y offset pairs) are returned as two arrays by
+    slicing the WEIGHT columns — free compared to slicing activations."""
+    features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+    dtype: Any = jnp.float32
+    split_xy: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        k = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype)
+        xd = x.astype(self.dtype)
+        if not self.split_xy:
+            return jnp.einsum("co,tqc->toq", k, xd) + b[None, :, None]
+        ox = jnp.einsum("co,tqc->toq", k[:, 0::2], xd) + b[0::2][None, :, None]
+        oy = jnp.einsum("co,tqc->toq", k[:, 1::2], xd) + b[1::2][None, :, None]
+        return ox, oy
+
+
 class MSDeformAttn(nn.Module):
     """Single-frame multi-scale deformable attention (reference L30-132)."""
     d_model: int = 256
@@ -171,32 +200,32 @@ class TemporalMSDeformAttnBase(nn.Module):
     def _value_proj_dense(self):
         return nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")
 
-    def _sampling_offsets_dense(self):
+    def _sampling_offsets_dense(self, cls=nn.Dense, **kw):
         M, L, Pc = self.n_heads, self.n_levels, self.n_curr_points
-        return nn.Dense(M * L * Pc * 2, kernel_init=nn.initializers.zeros,
-                        bias_init=_np_init(sampling_offsets_bias_init(M, L, Pc)),
-                        dtype=self.dtype, name="sampling_offsets")
+        return cls(M * L * Pc * 2, kernel_init=nn.initializers.zeros,
+                   bias_init=_np_init(sampling_offsets_bias_init(M, L, Pc)),
+                   dtype=self.dtype, name="sampling_offsets", **kw)
 
-    def _temporal_sampling_offsets_dense(self):
+    def _temporal_sampling_offsets_dense(self, cls=nn.Dense, **kw):
         M, L, W = self.n_heads, self.n_levels, self.t_window
         Pt = self.n_temporal_points
-        return nn.Dense(
+        return cls(
             M * L * W * Pt * 2, kernel_init=nn.initializers.zeros,
             bias_init=_np_init(temporal_sampling_offsets_bias_init(M, L, W, Pt)),
-            dtype=self.dtype, name="temporal_sampling_offsets")
+            dtype=self.dtype, name="temporal_sampling_offsets", **kw)
 
-    def _attention_weights_dense(self):
+    def _attention_weights_dense(self, cls=nn.Dense, **kw):
         M, L, Pc = self.n_heads, self.n_levels, self.n_curr_points
-        return nn.Dense(M * L * Pc, kernel_init=nn.initializers.zeros,
-                        bias_init=nn.initializers.zeros, dtype=self.dtype,
-                        name="attention_weights")
+        return cls(M * L * Pc, kernel_init=nn.initializers.zeros,
+                   bias_init=nn.initializers.zeros, dtype=self.dtype,
+                   name="attention_weights", **kw)
 
-    def _temporal_attention_weights_dense(self):
+    def _temporal_attention_weights_dense(self, cls=nn.Dense, **kw):
         M, L, W = self.n_heads, self.n_levels, self.t_window
         Pt = self.n_temporal_points
-        return nn.Dense(M * L * W * Pt, kernel_init=nn.initializers.zeros,
-                        bias_init=nn.initializers.zeros, dtype=self.dtype,
-                        name="temporal_attention_weights")
+        return cls(M * L * W * Pt, kernel_init=nn.initializers.zeros,
+                   bias_init=nn.initializers.zeros, dtype=self.dtype,
+                   name="temporal_attention_weights", **kw)
 
     def _value(self, input_flatten, padding_mask):
         T, S = input_flatten.shape[:2]
@@ -295,18 +324,18 @@ class TemporalMSDeformAttnEncoder(TemporalMSDeformAttnBase):
 
     def _fused_rows(self, query, reference_points, input_flatten,
                     spatial_shapes, padding_mask, W):
-        """Fused current+temporal attention with the sampling-location rows
-        built directly in kernel layout: the offset/attention projections are
-        transposed ONCE (T, C, Q) right after their Dense layers and every
-        subsequent step (joint softmax, reference-point add, level
-        normalization) runs in transposed space — no q-major loc/att
-        materialization or per-call transpose chain (the dominant per-layer
-        XLA glue; see docs/PERFORMANCE.md)."""
+        """Projection-fused current+temporal attention: the offset/logit
+        projections are computed by `TransposedDense` straight into the
+        kernel's (T, channels, Q) rows layout (checkpoint-identical params),
+        and the location math + joint softmax run INSIDE the Pallas kernel
+        (`ms_deform_attn_temporal_proj`) — no f32 lx/ly/at row
+        materialization, transpose chain, or XLA-side softmax (the dominant
+        per-layer glue; see docs/PERFORMANCE.md). Very large pyramids that
+        need VMEM level grouping fall back to the stacked rows path."""
         from ..ops.ms_deform_attn_pallas import (
-            Q_TILE, _round_up, level_groups, ms_deform_attn_rows_auto,
-            ms_deform_attn_rows_temporal, temporal_frame_rule)
+            Q_TILE, _round_up, level_groups, ms_deform_attn_temporal_proj,
+            temporal_frame_rule)
         T, Q, _ = query.shape
-        S = input_flatten.shape[1]
         M, L = self.n_heads, self.n_levels
         P = self.n_curr_points
         D = self.d_model // M
@@ -315,16 +344,62 @@ class TemporalMSDeformAttnEncoder(TemporalMSDeformAttnBase):
         value = self._value(input_flatten, padding_mask)
         t_shapes = make_temporal_shapes(spatial_shapes, W)
         fused_shapes = spatial_shapes + t_shapes
-        # Per-frame packed values via the multi-operand temporal kernel — no
-        # W× stacked-value materialization. Very large pyramids that need
-        # VMEM level grouping fall back to the stacked rows path.
         use_temporal_op = len(level_groups(
             fused_shapes, D, jnp.dtype(value.dtype).itemsize)) == 1
         if not use_temporal_op:
-            frame_index = _temporal_frame_index(T, self.t_window,
-                                                self.connect_all)
-            t_value = self.stack_temporal_values(value, frame_index)
-            fused_value = jnp.concatenate([value, t_value], axis=1)
+            return self._fused_rows_stacked(query, reference_points, value,
+                                            spatial_shapes, fused_shapes, W)
+
+        rule = temporal_frame_rule(T, self.t_window, self.connect_all)
+        q_tile = 128 if Q <= 128 else Q_TILE
+        q_pad = _round_up(Q, q_tile)
+        qp = query if q_pad == Q else jnp.pad(
+            query, ((0, 0), (0, q_pad - Q), (0, 0)))
+        # Per-level reference rows; padded queries carry −10 so every tap of
+        # theirs lands out of bounds and contributes nothing.
+        f32 = jnp.float32
+        rx = jnp.transpose(reference_points[..., 0], (0, 2, 1)).astype(f32)
+        ry = jnp.transpose(reference_points[..., 1], (0, 2, 1)).astype(f32)
+        if q_pad != Q:
+            pad = ((0, 0), (0, 0), (0, q_pad - Q))
+            rx = jnp.pad(rx, pad, constant_values=-10.0)
+            ry = jnp.pad(ry, pad, constant_values=-10.0)
+
+        # Projections born in rows layout: (T, M·…·Q) head-major channels,
+        # so the (T·M, rows, q_pad) reshapes below are zero-copy; the x/y
+        # split happens on the WEIGHT columns (free).
+        cx, cy = self._sampling_offsets_dense(
+            TransposedDense, split_xy=True)(qp)
+        tx, ty = self._temporal_sampling_offsets_dense(
+            TransposedDense, split_xy=True)(qp)
+        ca = self._attention_weights_dense(TransposedDense)(qp)
+        ta = self._temporal_attention_weights_dense(TransposedDense)(qp)
+        TM = T * M
+        cx = cx.reshape(TM, L * P, q_pad)
+        cy = cy.reshape(TM, L * P, q_pad)
+        tx = tx.reshape(TM, W * L * P, q_pad)
+        ty = ty.reshape(TM, W * L * P, q_pad)
+        ca = ca.reshape(TM, L * P, q_pad)
+        ta = ta.reshape(TM, W * L * P, q_pad)
+        out = ms_deform_attn_temporal_proj(value, spatial_shapes, rx, ry,
+                                           cx, cy, tx, ty, ca, ta, Q, rule,
+                                           q_tile)
+        return self._output(out)
+
+    def _fused_rows_stacked(self, query, reference_points, value,
+                            spatial_shapes, fused_shapes, W):
+        """Stacked-value fallback (VMEM level grouping): sampling rows built
+        in transposed space, temporal frames materialized along the level
+        axis, one `ms_deform_attn_rows_auto` call."""
+        from ..ops.ms_deform_attn_pallas import (
+            Q_TILE, _round_up, ms_deform_attn_rows_auto)
+        T, Q, _ = query.shape
+        M, L = self.n_heads, self.n_levels
+        P = self.n_curr_points
+        frame_index = _temporal_frame_index(T, self.t_window,
+                                            self.connect_all)
+        t_value = self.stack_temporal_values(value, frame_index)
+        fused_value = jnp.concatenate([value, t_value], axis=1)
 
         c_off = self._sampling_offsets_dense()(query)
         t_off = self._temporal_sampling_offsets_dense()(query)
@@ -378,13 +453,8 @@ class TemporalMSDeformAttnEncoder(TemporalMSDeformAttnBase):
             lx = jnp.pad(lx, qp, constant_values=-10.0)
             ly = jnp.pad(ly, qp, constant_values=-10.0)
             at = jnp.pad(at, qp)
-        if use_temporal_op:
-            rule = temporal_frame_rule(T, self.t_window, self.connect_all)
-            out = ms_deform_attn_rows_temporal(value, spatial_shapes, lx, ly,
-                                               at, Q, rule, q_tile)
-        else:
-            out = ms_deform_attn_rows_auto(fused_value, fused_shapes, lx, ly,
-                                           at, Q)
+        out = ms_deform_attn_rows_auto(fused_value, fused_shapes, lx, ly,
+                                       at, Q)
         return self._output(out)
 
 

@@ -976,13 +976,13 @@ def _temporal_fwd_fwd(value, spatial_shapes, lx, ly, at, n_queries,
                          rule, q_tile)
 
 
-def _temporal_fwd_bwd(spatial_shapes, n_queries, rule, q_tile, res, g):
-    """Backward via the existing fused-value kernel: materialize the stacked
-    value (backward only — training still pays the gather once), run
-    `_bwd_call` over the fused level stack, then fold the per-slot value
-    grads back onto the frames with a tiny one-hot einsum (exact: the op is
-    linear in the value and each slot reads one whole frame)."""
-    value, lx, ly, at = res
+def _temporal_bwd_core(spatial_shapes, n_queries, rule, q_tile, value,
+                       lx, ly, at, g):
+    """Shared temporal backward: materialize the stacked value (backward
+    only — training pays the gather once), run `_bwd_call` over the fused
+    level stack, then fold the per-slot value grads back onto the frames
+    with a tiny one-hot einsum (exact: the op is linear in the value and
+    each slot reads one whole frame). Returns (gval, glx, gly, gat)."""
     T, S, M, D = value.shape
     LP, q_pad = lx.shape[1], lx.shape[2]
     F = 1 + _rule_window(rule, T)
@@ -1013,11 +1013,319 @@ def _temporal_fwd_bwd(spatial_shapes, n_queries, rule, q_tile, res, g):
     _, vjp = jax.vjp(lambda a, b, c: _taps_rows(fused_shapes, a, b, c)[1],
                      lx, ly, at)
     glx, gly, gat = vjp(gwt.astype(jnp.float32))
+    return gval, glx, gly, gat
+
+
+def _temporal_fwd_bwd(spatial_shapes, n_queries, rule, q_tile, res, g):
+    value, lx, ly, at = res
+    gval, glx, gly, gat = _temporal_bwd_core(
+        spatial_shapes, n_queries, rule, q_tile, value, lx, ly, at, g)
     return (gval.astype(value.dtype), glx.astype(lx.dtype),
             gly.astype(ly.dtype), gat.astype(at.dtype))
 
 
 ms_deform_attn_rows_temporal.defvjp(_temporal_fwd_fwd, _temporal_fwd_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Projection-fused temporal op (encoder hot path)
+# ---------------------------------------------------------------------------
+#
+# The encoder's sampling locations are ref + off / (w_l, h_l) with the
+# temporal reference pinned to level 0, and the attention weights are a joint
+# softmax over the current+temporal logits (reference ms_deform_attn.py
+# L112-117, L247-254, L447). Materializing lx/ly/at rows in f32 costs
+# ~3×90 MB of HBM per layer; this variant moves the location math and the
+# softmax INTO the kernel, consuming the raw (bf16) offset/logit rows that
+# fall straight out of transposed Dense projections with zero-copy reshapes.
+
+
+def _fwd_kernel_temporal_proj(ranges_ref, *refs, spatial_shapes, level_starts,
+                              s_tile: int, P: int, acc_dtype, F: int):
+    ve_refs = refs[:F]
+    vo_refs = refs[F:2 * F]
+    (rx_ref, ry_ref, cx_ref, cy_ref, tx_ref, ty_ref, ca_ref, ta_ref,
+     out_ref, we_ref, wo_ref) = refs[2 * F:]
+    L = len(spatial_shapes)
+    D = out_ref.shape[1]
+    Qt = out_ref.shape[2]
+    f32 = jnp.float32
+    rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0).astype(f32)
+
+    # Joint softmax over current + temporal logits (per query column).
+    cl = ca_ref[0].astype(f32)                       # (L·P, Qt)
+    tl = ta_ref[0].astype(f32)                       # (W·L·P, Qt)
+    mx = jnp.maximum(jnp.max(cl, axis=0, keepdims=True),
+                     jnp.max(tl, axis=0, keepdims=True))
+    ec = jnp.exp(cl - mx)
+    et = jnp.exp(tl - mx)
+    inv = 1.0 / (jnp.sum(ec, axis=0, keepdims=True)
+                 + jnp.sum(et, axis=0, keepdims=True))
+    att_c = ec * inv
+    att_t = et * inv
+
+    acc_e = jnp.zeros((D, Qt), f32)
+    acc_o = jnp.zeros((D, Qt), f32)
+    for lvl in range(F * L):
+        ll = lvl % L
+        h, w = spatial_shapes[ll]
+        ve_ref = ve_refs[lvl // L]
+        vo_ref = vo_refs[lvl // L]
+        if lvl < L:
+            offx = cx_ref[0, ll * P:(ll + 1) * P, :].astype(f32)
+            offy = cy_ref[0, ll * P:(ll + 1) * P, :].astype(f32)
+            at = att_c[ll * P:(ll + 1) * P, :]
+            rxl = rx_ref[0, ll:ll + 1, :]
+            ryl = ry_ref[0, ll:ll + 1, :]
+        else:
+            k = lvl - L
+            offx = tx_ref[0, k * P:(k + 1) * P, :].astype(f32)
+            offy = ty_ref[0, k * P:(k + 1) * P, :].astype(f32)
+            at = att_t[k * P:(k + 1) * P, :]
+            # temporal reference point = level-0 reference (reference L447)
+            rxl = rx_ref[0, 0:1, :]
+            ryl = ry_ref[0, 0:1, :]
+        lx = rxl + offx * np.float32(1.0 / w)
+        ly = ryl + offy * np.float32(1.0 / h)
+        entries = _level_entries(lx, ly, at, h, w)
+        base_w = ranges_ref[0, 0, lvl, 0]
+        num_t = ranges_ref[0, 0, lvl, 1]
+
+        def body(t, accs, ll=ll, entries=entries, base_w=base_w,
+                 ve_ref=ve_ref, vo_ref=vo_ref):
+            acc_e, acc_o = accs
+            s0 = pl.multiple_of(base_w + t * s_tile, 8)
+            vte = ve_ref[0, pl.ds(level_starts[ll] + s0, s_tile), :]
+            vto = vo_ref[0, pl.ds(level_starts[ll] + s0, s_tile), :]
+            cols = rows0 + s0.astype(f32)
+            we_ref[:] = jnp.zeros_like(we_ref)
+            wo_ref[:] = jnp.zeros_like(wo_ref)
+            zero = jnp.zeros((), we_ref.dtype)
+            for ide, wte, ido, wto in entries:
+                for p in range(P):
+                    we_ref[:] += jnp.where(ide[p:p + 1, :] == cols,
+                                           wte[p:p + 1, :], zero)
+                    wo_ref[:] += jnp.where(ido[p:p + 1, :] == cols,
+                                           wto[p:p + 1, :], zero)
+            acc_e = acc_e + jax.lax.dot_general(
+                vte.astype(acc_dtype), we_ref[:].astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_o = acc_o + jax.lax.dot_general(
+                vto.astype(acc_dtype), wo_ref[:].astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc_e, acc_o
+
+        acc_e, acc_o = jax.lax.fori_loop(0, num_t, body, (acc_e, acc_o))
+    out_ref[0] = (acc_e + acc_o).astype(out_ref.dtype)
+
+
+def _row_ranges_proj(rx, ry, cx, cy, tx, ty, spatial_shapes: Shapes, F: int,
+                     q_tile: int, s_tile: int):
+    """`_row_ranges` computed straight from references + offsets (bf16 rows,
+    f32 math) — same arithmetic as the kernel, so the windows cover every
+    live tap exactly. rx/ry: (T, L, q_pad); cx/cy: (T·M, L·P, q_pad);
+    tx/ty: (T·M, W·L·P, q_pad). → (T·M, nqt, Lf, 2)."""
+    T, L, q_pad = rx.shape
+    TM, LP, _ = cx.shape
+    M = TM // T
+    P = LP // L
+    nqt = q_pad // q_tile
+    f32 = jnp.float32
+    rx = rx.astype(f32).reshape(T, 1, L, 1, nqt, q_tile)
+    ry = ry.astype(f32).reshape(T, 1, L, 1, nqt, q_tile)
+    cx = cx.astype(f32).reshape(T, M, L, P, nqt, q_tile)
+    cy = cy.astype(f32).reshape(T, M, L, P, nqt, q_tile)
+    W = F - 1
+    tx = tx.astype(f32).reshape(T, M, W * L, P, nqt, q_tile)
+    ty = ty.astype(f32).reshape(T, M, W * L, P, nqt, q_tile)
+    mns, mxs = [], []
+    for lvl in range(F * L):
+        h, w = spatial_shapes[lvl % L]
+        if lvl < L:
+            x = rx[:, :, lvl] + cx[:, :, lvl] * np.float32(1.0 / w)
+            y = ry[:, :, lvl] + cy[:, :, lvl] * np.float32(1.0 / h)
+        else:
+            x = rx[:, :, 0] + tx[:, :, lvl - L] * np.float32(1.0 / w)
+            y = ry[:, :, 0] + ty[:, :, lvl - L] * np.float32(1.0 / h)
+        x = x * w - 0.5                                   # (T, M|1, P, nqt, qt)
+        y = y * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        valid = (x > -1) & (x < w) & (y > -1) & (y < h)
+        lo = jnp.floor((jnp.clip(y0, 0, h - 1) * w
+                        + jnp.clip(x0, 0, w - 1)) * 0.5)
+        hi = jnp.floor((jnp.clip(y0 + 1, 0, h - 1) * w
+                        + jnp.clip(x0 + 1, 0, w - 1)) * 0.5)
+        big = jnp.float32(1 << 30)
+        mns.append(jnp.min(jnp.where(valid, lo, big), axis=(2, 4)))
+        mxs.append(jnp.max(jnp.where(valid, hi, -1.0), axis=(2, 4)))
+    mn = jnp.stack(mns, axis=-1).astype(jnp.int32)        # (T, M, nqt, Lf)
+    mx = jnp.stack(mxs, axis=-1).astype(jnp.int32)
+    mn = mn.reshape(TM, nqt, F * L)
+    mx = mx.reshape(TM, nqt, F * L)
+    base = (mn // 8) * 8
+    count = jnp.where(mx >= 0, (mx - base) // s_tile + 1, 0)
+    return jnp.stack([jnp.where(mx >= 0, base, 0),
+                      count.astype(jnp.int32)], axis=-1)
+
+
+def _build_rows_from_proj(spatial_shapes: Shapes, F: int, rx, ry, cx, cy,
+                          tx, ty, ca, ta):
+    """Differentiable XLA reconstruction of (lx, ly, at) rows from the
+    projection-level inputs — the backward path and the parity oracle for
+    `ms_deform_attn_temporal_proj`. Same math as the kernel."""
+    T, L, q_pad = rx.shape
+    TM, LP, _ = cx.shape
+    M = TM // T
+    P = LP // L
+    W = F - 1
+    f32 = jnp.float32
+    rxr = rx.astype(f32).reshape(T, 1, L, 1, q_pad)
+    ryr = ry.astype(f32).reshape(T, 1, L, 1, q_pad)
+    cxr = cx.astype(f32).reshape(T, M, L, P, q_pad)
+    cyr = cy.astype(f32).reshape(T, M, L, P, q_pad)
+    txr = tx.astype(f32).reshape(T, M, W * L, P, q_pad)
+    tyr = ty.astype(f32).reshape(T, M, W * L, P, q_pad)
+    wn = np.asarray([w for _, w in spatial_shapes], np.float32)
+    hn = np.asarray([h for h, _ in spatial_shapes], np.float32)
+    inv_w = (1.0 / wn).reshape(1, 1, L, 1, 1)
+    inv_h = (1.0 / hn).reshape(1, 1, L, 1, 1)
+    inv_wt = np.tile(1.0 / wn, W).reshape(1, 1, W * L, 1, 1)
+    inv_ht = np.tile(1.0 / hn, W).reshape(1, 1, W * L, 1, 1)
+    lx_c = rxr + cxr * inv_w
+    ly_c = ryr + cyr * inv_h
+    lx_t = rxr[:, :, 0:1] + txr * inv_wt
+    ly_t = ryr[:, :, 0:1] + tyr * inv_ht
+    lx = jnp.concatenate([lx_c.reshape(TM, L * P, q_pad),
+                          lx_t.reshape(TM, W * L * P, q_pad)], axis=1)
+    ly = jnp.concatenate([ly_c.reshape(TM, L * P, q_pad),
+                          ly_t.reshape(TM, W * L * P, q_pad)], axis=1)
+    logits = jnp.concatenate([ca.astype(f32), ta.astype(f32)], axis=1)
+    at = jax.nn.softmax(logits, axis=1)
+    return lx, ly, at
+
+
+@functools.partial(jax.jit, static_argnums=(0, 11, 12, 13, 14))
+def _fwd_call_temporal_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry,
+                            cx, cy, tx, ty, ca, ta, q_tile: int, s_tile: int,
+                            T: int, rule):
+    TM, S_pad, D = value_e.shape
+    M = TM // T
+    F = 1 + _rule_window(rule, T)
+    L = len(spatial_shapes)
+    q_pad = rx.shape[2]
+    P = cx.shape[1] // L
+    ranges = _row_ranges_proj(rx, ry, cx, cy, tx, ty, spatial_shapes, F,
+                              q_tile, s_tile)
+    level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
+    acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
+        else jnp.float32
+    Lf = F * L
+    ranges_spec = pl.BlockSpec((1, 1, Lf, 2), lambda bm, qt: (bm, qt, 0, 0),
+                               memory_space=pltpu.SMEM)
+
+    def _value_spec(j):
+        if j == 0:
+            return pl.BlockSpec((1, S_pad, D), lambda bm, qt: (bm, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def index_map(bm, qt, j=j - 1):
+            t = bm // M
+            f = _temporal_frame_expr(rule, j, t, T)
+            return (f * M + bm % M, 0, 0)
+        return pl.BlockSpec((1, S_pad, D), index_map,
+                            memory_space=pltpu.VMEM)
+
+    def row_spec(rows):
+        return pl.BlockSpec((1, rows, q_tile), lambda bm, qt: (bm, 0, qt),
+                            memory_space=pltpu.VMEM)
+
+    ref_spec = pl.BlockSpec((1, L, q_tile), lambda bm, qt: (bm // M, 0, qt),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_fwd_kernel_temporal_proj,
+                               spatial_shapes=spatial_shapes,
+                               level_starts=level_starts,
+                               s_tile=s_tile, P=P, acc_dtype=acc_dtype, F=F)
+    specs = [_value_spec(j) for j in range(F)]
+    W = F - 1
+    return pl.pallas_call(
+        kernel,
+        grid=(TM, q_pad // q_tile),
+        in_specs=[ranges_spec] + specs + specs
+        + [ref_spec, ref_spec,
+           row_spec(L * P), row_spec(L * P),
+           row_spec(W * L * P), row_spec(W * L * P),
+           row_spec(L * P), row_spec(W * L * P)],
+        out_specs=pl.BlockSpec((1, D, q_tile), lambda bm, qt: (bm, 0, qt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TM, D, q_pad), value_e.dtype),
+        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
+                        pltpu.VMEM((s_tile, q_tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(ranges, *([value_e] * F), *([value_o] * F), rx, ry, cx, cy, tx, ty,
+      ca, ta)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 10, 11, 12))
+def ms_deform_attn_temporal_proj(value, spatial_shapes: Shapes, rx, ry,
+                                 cx, cy, tx, ty, ca, ta, n_queries: int,
+                                 rule=("all",), q_tile: int = 0):
+    """Projection-fused temporal attention (encoder semantics).
+
+    value: (T, S, M, D) per-frame; rx/ry: (T, L, q_pad) per-level reference
+    points (padded queries carry −10); cx/cy: (T·M, L·P, q_pad) current
+    offsets; tx/ty: (T·M, W·L·P, q_pad) temporal offsets (frame-major level
+    order); ca/ta: pre-softmax attention logits of the same row shapes.
+    Locations = ref + off/(w_l, h_l) with the temporal reference pinned to
+    level 0, weights = joint softmax over current+temporal — both computed
+    in-kernel. Returns (T, n_queries, M·D)."""
+    out, _ = _temporal_proj_fwd(value, spatial_shapes, rx, ry, cx, cy, tx,
+                                ty, ca, ta, n_queries, rule, q_tile)
+    return out
+
+
+def _temporal_proj_fwd(value, spatial_shapes, rx, ry, cx, cy, tx, ty, ca, ta,
+                       n_queries, rule, q_tile):
+    T, S, M, D = value.shape
+    q_pad = rx.shape[2]
+    q_tile = q_tile or (128 if q_pad <= 128 else Q_TILE)
+    assert q_pad % q_tile == 0, (q_pad, q_tile)
+    value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(T * M, S, D)
+    value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
+    out_bm = _fwd_call_temporal_proj(tuple(spatial_shapes), value_e, value_o,
+                                     rx, ry, cx, cy, tx, ty, ca, ta,
+                                     q_tile, S_TILE, T, rule)
+    out = out_bm.reshape(T, M, D, q_pad)[..., :n_queries]
+    out = jnp.transpose(out, (0, 3, 1, 2)).reshape(T, n_queries, M * D)
+    return out.astype(value.dtype), (value, rx, ry, cx, cy, tx, ty, ca, ta)
+
+
+def _temporal_proj_fwd_fwd(value, spatial_shapes, rx, ry, cx, cy, tx, ty,
+                           ca, ta, n_queries, rule=("all",), q_tile=0):
+    return _temporal_proj_fwd(value, spatial_shapes, rx, ry, cx, cy, tx, ty,
+                              ca, ta, n_queries, rule, q_tile)
+
+
+def _temporal_proj_fwd_bwd(spatial_shapes, n_queries, rule, q_tile, res, g):
+    value, rx, ry, cx, cy, tx, ty, ca, ta = res
+    F = 1 + _rule_window(rule, value.shape[0])
+    build = functools.partial(_build_rows_from_proj, tuple(spatial_shapes), F)
+    (lx, ly, at), vjp_rows = jax.vjp(build, rx, ry, cx, cy, tx, ty, ca, ta)
+    gval, glx, gly, gat = _temporal_bwd_core(
+        spatial_shapes, n_queries, rule, q_tile, value, lx, ly, at, g)
+    grads = vjp_rows((glx.astype(jnp.float32), gly.astype(jnp.float32),
+                      gat.astype(jnp.float32)))
+    return (gval.astype(value.dtype),) + tuple(
+        gr.astype(r.dtype) for gr, r in zip(grads,
+                                            (rx, ry, cx, cy, tx, ty, ca, ta)))
+
+
+ms_deform_attn_temporal_proj.defvjp(_temporal_proj_fwd_fwd,
+                                    _temporal_proj_fwd_bwd)
 
 
 def ms_deform_attn_temporal(value, spatial_shapes: Shapes, loc, att,

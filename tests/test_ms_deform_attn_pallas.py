@@ -351,3 +351,85 @@ class TestTemporalOp:
         for a, b in zip(g_t, g_s):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestTemporalProjOp:
+    """Projection-fused temporal op (in-kernel location math + joint softmax)
+    vs the rows op fed with XLA-built rows (`_build_rows_from_proj`)."""
+
+    def _case(self, rng, T=3, M=2, D=16, P=2, rule=("all",)):
+        from devis_tpu.ops.ms_deform_attn_pallas import (_round_up,
+                                                         _rule_window)
+        L = len(SHAPES)
+        W = _rule_window(rule, T)
+        Q = 40
+        q_pad = _round_up(Q, 128)
+        value = jnp.asarray(rng.rand(T, S, M, D), jnp.float32)
+        rx = jnp.asarray(rng.rand(T, L, q_pad), jnp.float32)
+        ry = jnp.asarray(rng.rand(T, L, q_pad), jnp.float32)
+        rx = rx.at[:, :, Q:].set(-10.0)
+        ry = ry.at[:, :, Q:].set(-10.0)
+        def rows(n):
+            return jnp.asarray(rng.randn(T * M, n * P, q_pad) * 3,
+                               jnp.float32)
+        cx, cy, ca = rows(L), rows(L), rows(L)
+        tx, ty, ta = rows(W * L), rows(W * L), rows(W * L)
+        return value, (rx, ry, cx, cy, tx, ty, ca, ta), Q, 1 + W
+
+    @pytest.mark.parametrize("rule", [("all",), ("window", (-1, 1))])
+    def test_forward_matches_rows(self, rng, rule):
+        from devis_tpu.ops.ms_deform_attn_pallas import (
+            _build_rows_from_proj, ms_deform_attn_rows_temporal,
+            ms_deform_attn_temporal_proj)
+        value, args, Q, F = self._case(rng, rule=rule)
+        out = ms_deform_attn_temporal_proj(value, SHAPES, *args, Q, rule)
+        lx, ly, at = _build_rows_from_proj(SHAPES, F, *args)
+        ref = ms_deform_attn_rows_temporal(value, SHAPES, lx, ly, at, Q, rule)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_grads_match_rows(self, rng):
+        from devis_tpu.ops.ms_deform_attn_pallas import (
+            _build_rows_from_proj, ms_deform_attn_rows_temporal,
+            ms_deform_attn_temporal_proj)
+        rule = ("all",)
+        value, args, Q, F = self._case(rng, rule=rule)
+
+        def f_p(v, *a):
+            return (ms_deform_attn_temporal_proj(v, SHAPES, *a, Q, rule)
+                    ** 2).sum()
+
+        def f_r(v, *a):
+            lx, ly, at = _build_rows_from_proj(SHAPES, F, *a)
+            return (ms_deform_attn_rows_temporal(v, SHAPES, lx, ly, at, Q,
+                                                 rule) ** 2).sum()
+
+        an = tuple(range(1 + len(args)))
+        g_p = jax.grad(f_p, argnums=an)(value, *args)
+        g_r = jax.grad(f_r, argnums=an)(value, *args)
+        for a, b in zip(g_p, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_encoder_stacked_fallback_matches_xla(rng, monkeypatch):
+    """Pyramids that exceed the VMEM level-group budget must route through
+    `_fused_rows_stacked` and still match the q-major XLA path."""
+    from devis_tpu.models.attention import TemporalMSDeformAttnEncoder
+    from devis_tpu.ops import ms_deform_attn_pallas as mp
+    d_model, n_heads, P, L = 32, 2, 2, len(SHAPES)
+    T = 3
+    enc_kwargs = dict(n_frames=T, d_model=d_model, n_levels=L, t_window=T - 1,
+                      n_heads=n_heads, n_curr_points=P, n_temporal_points=P,
+                      connect_all=True)
+    query = jnp.asarray(rng.randn(T, S, d_model), jnp.float32)
+    flat = jnp.asarray(rng.randn(T, S, d_model), jnp.float32)
+    refpts = jnp.asarray(rng.rand(T, S, L, 2), jnp.float32)
+    m_xla = TemporalMSDeformAttnEncoder(impl="xla", **enc_kwargs)
+    params = m_xla.init(jax.random.PRNGKey(0), query, refpts, flat, SHAPES)
+    out_xla = m_xla.apply(params, query, refpts, flat, SHAPES)
+    monkeypatch.setattr(mp, "VMEM_VALUE_BUDGET", 1)
+    m_rows = TemporalMSDeformAttnEncoder(impl="pallas", **enc_kwargs)
+    out_rows = m_rows.apply(params, query, refpts, flat, SHAPES)
+    np.testing.assert_allclose(np.asarray(out_rows), np.asarray(out_xla),
+                               rtol=1e-4, atol=1e-5)
