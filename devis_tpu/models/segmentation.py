@@ -33,8 +33,28 @@ RES_TO_IDX = {"/64": 3, "/32": 2, "/16": 1, "/8": 0}
 BACKBONE_RES_TO_IDX = {"/32": 3, "/16": 2, "/8": 1, "/4": 0}
 
 
+class _ConvParams(nn.Module):
+    """Declares `nn.Conv`-identical params (kernel (K,K,Cin,F), bias (F,))
+    without applying the conv — the fused DCNv2 kernel consumes the raw
+    weights. Checkpoint trees are interchangeable with `nn.Conv`."""
+    features: int
+    kernel: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.zeros,
+                       (self.kernel, self.kernel, self.cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class ModulatedDeformableConv(nn.Module):
-    """DCNv2 layer (reference L244-267): zero-init offset/modulator convs."""
+    """DCNv2 layer (reference L244-267): zero-init offset/modulator convs.
+
+    On the TPU inference path the whole layer (field convs + deformable
+    conv) runs as ONE fused banded kernel (`modulated_deform_conv2d`);
+    elsewhere the fields are ordinary XLA convs feeding `deform_conv2d`."""
     features: int
     kernel: int = 3
     padding: int = 1
@@ -42,19 +62,25 @@ class ModulatedDeformableConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.deform_conv import conv2d_nhwc, modulated_deform_conv2d
+        from ..ops.ms_deform_attn import resolve_impl
         K = self.kernel
-        offset = nn.Conv(2 * K * K, (K, K), padding=[(self.padding,) * 2] * 2,
-                         kernel_init=nn.initializers.zeros,
-                         bias_init=nn.initializers.zeros, dtype=self.dtype,
-                         name="offset_conv")(x)
-        modulator = 2.0 * jax.nn.sigmoid(
-            nn.Conv(K * K, (K, K), padding=[(self.padding,) * 2] * 2,
-                    kernel_init=nn.initializers.zeros,
-                    bias_init=nn.initializers.zeros, dtype=self.dtype,
-                    name="modulator_conv")(x))
+        Cin = x.shape[-1]
+        w_off, b_off = _ConvParams(2 * K * K, K, Cin, name="offset_conv")()
+        w_mod, b_mod = _ConvParams(K * K, K, Cin, name="modulator_conv")()
         weight = self.param("weight", nn.initializers.he_uniform(),
-                            (K, K, x.shape[-1], self.features))
+                            (K, K, Cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype
+        if resolve_impl("auto") == "pallas":
+            return modulated_deform_conv2d(
+                x, w_off.astype(dt), b_off.astype(dt), w_mod.astype(dt),
+                b_mod.astype(dt), weight.astype(x.dtype),
+                bias.astype(x.dtype), self.padding)
+        offset = conv2d_nhwc(x, w_off.astype(dt), b_off.astype(dt),
+                             self.padding)
+        modulator = 2.0 * jax.nn.sigmoid(
+            conv2d_nhwc(x, w_mod.astype(dt), b_mod.astype(dt), self.padding))
         return deform_conv2d(x, offset, modulator, weight.astype(x.dtype),
                              bias.astype(x.dtype), padding=self.padding)
 

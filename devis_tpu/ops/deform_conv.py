@@ -74,6 +74,53 @@ def _banded_diff_bwd(padding, res, g):
 _deform_conv2d_banded_diff.defvjp(_banded_diff_fwd, _banded_diff_bwd)
 
 
+def conv2d_nhwc(x, kernel, bias, padding: int):
+    """Plain NHWC conv (the reference's offset/modulator field convs,
+    `deformable_segmentation.py:250-256`)."""
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=(1, 1),
+        padding=[(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + bias.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def modulated_deform_conv2d(x, w_off, b_off, w_mod, b_mod, weight, bias,
+                            padding: int = 1):
+    """Full DCNv2 layer (field convs + deformable conv) with the TPU
+    inference forward fully fused into the banded kernel
+    (`deform_conv_banded.deform_conv2d_banded_fused`) — no XLA-side
+    offset/modulator materialization. Semantics:
+        offset = conv(x, w_off) + b_off
+        mod    = 2·sigmoid(conv(x, w_mod) + b_mod)
+        out    = deform_conv2d(x, offset, mod, weight, bias)
+    Backward runs the differentiable composition (XLA field convs + one-hot
+    VJP), mirroring `_deform_conv2d_banded_diff`."""
+    from .deform_conv_banded import deform_conv2d_banded_fused
+    return deform_conv2d_banded_fused(x, w_off, b_off, w_mod, b_mod,
+                                      weight, bias, padding)
+
+
+def _mdc_reference(x, w_off, b_off, w_mod, b_mod, weight, bias, padding):
+    offset = conv2d_nhwc(x, w_off, b_off, padding)
+    mod = 2.0 * jax.nn.sigmoid(conv2d_nhwc(x, w_mod, b_mod, padding))
+    return _deform_conv2d_pallas(x, offset, mod, weight, bias, padding)
+
+
+def _mdc_fwd(x, w_off, b_off, w_mod, b_mod, weight, bias, padding):
+    return (modulated_deform_conv2d(x, w_off, b_off, w_mod, b_mod, weight,
+                                    bias, padding),
+            (x, w_off, b_off, w_mod, b_mod, weight, bias))
+
+
+def _mdc_bwd(padding, res, g):
+    _, vjp = jax.vjp(lambda *a: _mdc_reference(*a, padding), *res)
+    return vjp(g)
+
+
+modulated_deform_conv2d.defvjp(_mdc_fwd, _mdc_bwd)
+
+
 def _deform_conv2d_pallas(x, offset, mask, weight, bias, padding=1):
     """Deformable conv with the channel mix folded BEFORE the gather.
 

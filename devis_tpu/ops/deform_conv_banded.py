@@ -96,6 +96,10 @@ def _banded_kernel(base_ref, off_ref, mod_ref, w_ref, x_hbm, out_ref,
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     N = R * Wp
+    # upcast the whole row block ONCE — per-row slices of packed bf16
+    # sublanes are slow, and rows arrive bf16 to halve HBM traffic
+    off_f = off_ref[0].astype(jnp.float32)     # (2·KK, N)
+    mod_f = mod_ref[0].astype(jnp.float32)     # (KK, N)
     for k in range(KK):
         copies[k].wait()
         # premix: U_k = W_kᵀ @ x̃_k  (Cout, rows_win·Wp), MXU. True-f32
@@ -108,9 +112,9 @@ def _banded_kernel(base_ref, off_ref, mod_ref, w_ref, x_hbm, out_ref,
             precision=(jax.lax.Precision.HIGHEST
                        if x_refs[k].dtype == jnp.float32 else None))
         byf = base_ref[0, 0, k, 0].astype(jnp.float32)
-        dy = off_ref[0, 2 * k:2 * k + 1, :] - byf     # y residual offsets
-        dx = off_ref[0, 2 * k + 1:2 * k + 2, :]       # x has no rebase
-        mk = mod_ref[0, k:k + 1, :]
+        dy = off_f[2 * k:2 * k + 1, :] - byf          # y residual offsets
+        dx = off_f[2 * k + 1:2 * k + 2, :]            # x has no rebase
+        mk = mod_f[k:k + 1, :]
 
         kx = k % K - padding
         col0 = margin + kx - lo
@@ -157,10 +161,10 @@ def _deform_conv2d_banded_impl(x, offset, mask, weight, bias, padding: int,
 
     # per-pixel offset/modulation maps, flattened (B, ch, H_r·Wp); the
     # padding region gets zeros — those outputs are discarded
-    off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
+    off_t = jnp.transpose(offset, (0, 3, 1, 2))
     off_p = jnp.pad(off_t, ((0, 0), (0, 0), (0, H_r - H), (0, Wp - W)))
     off_p = off_p.reshape(B, 2 * KK, H_r * Wp)
-    mod_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
+    mod_t = jnp.transpose(mask, (0, 3, 1, 2))
     mod_p = jnp.pad(mod_t, ((0, 0), (0, 0), (0, H_r - H), (0, Wp - W)))
     mod_p = mod_p.reshape(B, KK, H_r * Wp)
 
@@ -168,7 +172,8 @@ def _deform_conv2d_banded_impl(x, offset, mask, weight, bias, padding: int,
 
     # per-(instance, position) integer Y rebase = round(mean y-offset over
     # the real pixels), clamped to keep the DMA inside the padded buffer
-    offy_mean = jnp.mean(off_t[:, 0::2].reshape(B, KK, -1), axis=-1)
+    offy_mean = jnp.mean(off_t[:, 0::2].astype(jnp.float32)
+                         .reshape(B, KK, -1), axis=-1)
     base = jnp.clip(jnp.round(offy_mean), -max_base, max_base) \
         .astype(jnp.int32).reshape(B, 1, KK, 1)
 
@@ -217,3 +222,138 @@ def deform_conv2d_banded(x, offset, mask, weight, bias, padding: int = 1,
     candidate window around the per-instance mean; far taps drop."""
     return _deform_conv2d_banded_impl(x, offset, mask, weight, bias,
                                       padding, ncand, max_base, row_block)
+
+# ---------------------------------------------------------------------------
+# Fused variant: offset/modulator field convs on the staged flat buffer
+# ---------------------------------------------------------------------------
+#
+# The mask head's offset and modulator fields are themselves K×K convs of the
+# SAME input x (`reference deformable_segmentation.py:244-267`). Feeding them
+# through separate NHWC convs costs, per deformable conv, an NHWC→NCHW
+# transpose + pad + flatten copy of 3·KK channels at full map size — at COCO
+# /4 shapes this prep dwarfed the kernel itself. Here both fields are
+# computed as tap-wise einsums directly on the NCHW-flat zero-padded buffer
+# the kernel stages anyway (XLA fuses the 9 shifted reads into one loop
+# nest; no transposes, no extra pads), and the row rebase comes from channel
+# means: mean_p conv(x)(p) ≈ W_offᵀ·mean(x) + b (boundary zero-padding error
+# ≤ the edge-pixel fraction — the base is a windowing heuristic, so the
+# approximation only shifts which taps the window covers, never tap values).
+# An earlier experiment computed the fields INSIDE the kernel from an extra
+# row window; the small-M (27-row) per-block matmuls and value pressure cost
+# ~2× more device time than these fused XLA einsums.
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod, weight,
+                                     bias, padding: int, ncand: int,
+                                     max_base: int, row_block: int):
+    """x (B,H,W,Cin); w_off (K,K,Cin,2KK); w_mod (K,K,Cin,KK);
+    weight (K,K,Cin,Cout). Returns (B,H,W,Cout) — the composition
+    offset = conv(x, w_off)+b_off, mod = 2σ(conv(x, w_mod)+b_mod),
+    deform_conv2d(x, offset, mod, weight, bias)."""
+    B, H, W, Cin = x.shape
+    K = weight.shape[0]
+    KK = K * K
+    Cout = weight.shape[-1]
+    if Cin % 8:
+        # Mosaic cannot DMA-slice a non-8-aligned sublane extent out of the
+        # tiled HBM buffer; zero channels contribute nothing to the dots
+        pad_c = 8 - Cin % 8
+        x = jnp.pad(x, ((0, 0),) * 3 + ((0, pad_c),))
+        zoff = ((0, pad_c), (0, 0))
+        w_off = jnp.pad(w_off, ((0, 0),) * 2 + zoff)
+        w_mod = jnp.pad(w_mod, ((0, 0),) * 2 + zoff)
+        weight = jnp.pad(weight, ((0, 0),) * 2 + zoff)
+        Cin += pad_c
+    margin = max_base + ncand + padding
+    R = min(row_block, _round_up(H, 8))
+    H_r = _round_up(H, R)
+    Wp = _round_up(W + 2 * margin, 128)
+
+    x_t = jnp.transpose(x, (0, 3, 1, 2))
+    x4 = jnp.pad(x_t, ((0, 0), (0, 0),
+                       (margin, H_r - H + margin + 1),
+                       (margin, Wp - W - margin)))        # (B, Cin, H_tot, Wp)
+    x_p = x4.reshape(B, Cin, (H_r + 2 * margin + 1) * Wp)
+
+    # Field convs as tap-wise einsums on the padded buffer (f32 accumulate,
+    # zero padding == the reference convention). Column reach caps the
+    # slice width at Wp − margin − 1 ≥ W + margin; the discarded pad-column
+    # tail is restored by one output pad.
+    f32 = jnp.float32
+    w27 = jnp.concatenate([w_off.reshape(KK, Cin, 2 * KK),
+                           w_mod.reshape(KK, Cin, KK)],
+                          axis=-1).astype(x.dtype)        # (KK, Cin, 3KK)
+    Lc = Wp - margin - 1
+    prec = ("highest" if x.dtype == jnp.float32 else None)
+    f27 = None
+    for t in range(KK):
+        ty, tx = t // K - padding, t % K - padding
+        xs = jax.lax.slice(
+            x4, (0, 0, margin + ty, margin + tx),
+            (B, Cin, margin + ty + H_r, margin + tx + Lc))
+        term = jnp.einsum("co,bchw->bohw", w27[t], xs,
+                          preferred_element_type=f32, precision=prec)
+        f27 = term if f27 is None else f27 + term        # (B, 3KK, H_r, Lc)
+    b27 = jnp.concatenate([b_off, b_mod]).astype(f32)
+    f27 = f27 + b27[None, :, None, None]
+    off4 = f27[:, :2 * KK]
+    mod4 = 2.0 * jax.nn.sigmoid(f27[:, 2 * KK:])
+    cpad = ((0, 0), (0, 0), (0, 0), (0, Wp - Lc))
+    off_p = jnp.pad(off4, cpad).reshape(B, 2 * KK, H_r * Wp)
+    mod_p = jnp.pad(mod4, cpad).reshape(B, KK, H_r * Wp)
+
+    w_r = weight.reshape(KK, Cin, Cout).astype(x.dtype)
+
+    # row rebase from channel means (see section comment)
+    x_mean = jnp.mean(x.astype(f32), axis=(1, 2))        # (B, Cin)
+    offy_mean = (x_mean @ w_off.astype(f32)
+                 .sum(axis=(0, 1))[:, 0::2]) + b_off[0::2].astype(f32)
+    base = jnp.clip(jnp.round(offy_mean), -max_base, max_base) \
+        .astype(jnp.int32).reshape(B, 1, KK, 1)
+
+    R_lanes = R * Wp
+    kernel = functools.partial(
+        _banded_kernel, Cin=Cin, Cout=Cout, R=R, Wp=Wp, margin=margin,
+        ncand=ncand, K=K, padding=padding)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H_r // R),
+        in_specs=[
+            pl.BlockSpec((1, 1, KK, 1), lambda b, hb: (b, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2 * KK, R_lanes), lambda b, hb: (b, 0, hb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KK, R_lanes), lambda b, hb: (b, 0, hb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KK, Cin, Cout), lambda b, hb: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, Cout, R_lanes), lambda b, hb: (b, 0, hb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Cout, H_r * Wp), x.dtype),
+        scratch_shapes=(
+            [pltpu.VMEM((Cout, R_lanes), jnp.float32)]
+            + [pltpu.VMEM((Cin, (R + ncand + 1) * Wp), x.dtype)
+               for _ in range(KK)]
+            + [pltpu.SemaphoreType.DMA for _ in range(KK)]
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(base, off_p, mod_p, w_r, x_p)
+
+    out = out.reshape(B, Cout, H_r, Wp)[:, :, :H, :W]
+    out = jnp.transpose(out, (0, 2, 3, 1))
+    return (out.astype(jnp.float32) + bias).astype(x.dtype)
+
+
+def deform_conv2d_banded_fused(x, w_off, b_off, w_mod, b_mod, weight, bias,
+                               padding: int = 1, ncand: int = 4,
+                               max_base: int = 8, row_block: int = 32):
+    """Forward-only fused modulated deformable conv: field convs computed on
+    the kernel's staged flat buffer (no transpose/pad/copy field prep)."""
+    return _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod,
+                                            weight, bias, padding, ncand,
+                                            max_base, row_block)

@@ -5,6 +5,7 @@ stay within the candidate window around the per-instance mean y-offset
 (rows are rebased; columns use the static window alone)."""
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from devis_tpu.ops.deform_conv import _deform_conv2d_xla
@@ -80,3 +81,50 @@ def test_banded_out_of_window_taps_drop(rng):
                                               (x, offset, mask_dropped,
                                                weight, bias))))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_matches_unfused_banded(rng):
+    """The fully-fused DCNv2 kernel (in-kernel field convs) must reproduce
+    the composition XLA-field-convs → banded kernel exactly, and its VJP
+    must match the differentiable reference composition."""
+    from devis_tpu.ops.deform_conv import (conv2d_nhwc,
+                                           modulated_deform_conv2d)
+    B, H, W, Cin, Cout, K = 2, 20, 30, 8, 5, 3
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+    # field magnitudes kept in-band so the banded forward is EXACT and the
+    # fused loss equals the reference-composition loss (out-of-band tap
+    # dropping is covered separately above)
+    w_off = jnp.asarray(rng.randn(K, K, Cin, 2 * K * K) * 0.01, jnp.float32)
+    b_off = jnp.asarray(rng.randn(2 * K * K) * 0.15, jnp.float32)
+    w_mod = jnp.asarray(rng.randn(K, K, Cin, K * K) * 0.05, jnp.float32)
+    b_mod = jnp.asarray(rng.randn(K * K) * 0.3, jnp.float32)
+    weight = jnp.asarray(rng.randn(K, K, Cin, Cout) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(Cout) * 0.1, jnp.float32)
+    out = modulated_deform_conv2d(x, w_off, b_off, w_mod, b_mod, weight,
+                                  bias, 1)
+    offset = conv2d_nhwc(x, w_off, b_off, 1)
+    mod = 2.0 * jax.nn.sigmoid(conv2d_nhwc(x, w_mod, b_mod, 1))
+    want = deform_conv2d_banded(x, offset, mod, weight, bias, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    args = (x, w_off, b_off, w_mod, b_mod, weight, bias)
+
+    def loss(*a):
+        return jnp.sum(modulated_deform_conv2d(*a, 1) ** 2)
+
+    def loss_ref(x, w_off, b_off, w_mod, b_mod, weight, bias):
+        # the exact composition the VJP differentiates (route-vs-route grad
+        # parity pallas/xla is covered in test_deform_conv.py)
+        from devis_tpu.ops.deform_conv import _deform_conv2d_pallas
+        offset = conv2d_nhwc(x, w_off, b_off, 1)
+        mod = 2.0 * jax.nn.sigmoid(conv2d_nhwc(x, w_mod, b_mod, 1))
+        return jnp.sum(_deform_conv2d_pallas(x, offset, mod, weight, bias, 1)
+                       ** 2)
+
+    g = jax.grad(loss, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5 * float(
+                                       jnp.max(jnp.abs(b))))
