@@ -127,6 +127,18 @@ class MSDeformAttn(nn.Module):
     impl: str = "auto"
     dtype: Any = jnp.float32
 
+    def _offsets_dense(self, cls=nn.Dense, **kw):
+        M, L, P = self.n_heads, self.n_levels, self.n_points
+        return cls(M * L * P * 2, kernel_init=nn.initializers.zeros,
+                   bias_init=_np_init(sampling_offsets_bias_init(M, L, P)),
+                   dtype=self.dtype, name="sampling_offsets", **kw)
+
+    def _att_dense(self, cls=nn.Dense, **kw):
+        M, L, P = self.n_heads, self.n_levels, self.n_points
+        return cls(M * L * P, kernel_init=nn.initializers.zeros,
+                   bias_init=nn.initializers.zeros, dtype=self.dtype,
+                   name="attention_weights", **kw)
+
     @nn.compact
     def __call__(self, query, reference_points, input_flatten, spatial_shapes,
                  padding_mask=None):
@@ -140,20 +152,52 @@ class MSDeformAttn(nn.Module):
             value = jnp.where(padding_mask[..., None], 0.0, value)
         value = value.reshape(B, S, M, D)
 
-        offsets = nn.Dense(M * L * P * 2,
-                           kernel_init=nn.initializers.zeros,
-                           bias_init=_np_init(sampling_offsets_bias_init(M, L, P)),
-                           dtype=self.dtype,
-                           name="sampling_offsets")(query).reshape(B, Lq, M, L, P, 2)
-        att = nn.Dense(M * L * P, kernel_init=nn.initializers.zeros,
-                       bias_init=nn.initializers.zeros, dtype=self.dtype,
-                       name="attention_weights")(query).reshape(B, Lq, M, L * P)
-        att = jax.nn.softmax(att, axis=-1).reshape(B, Lq, M, L, P)
-
-        loc = compute_sampling_locations(reference_points, offsets,
-                                         spatial_shapes, P)
-        out = ms_deform_attn(value, spatial_shapes, loc, att, impl=self.impl)
+        from ..ops.ms_deform_attn import resolve_impl
+        from ..ops.ms_deform_attn_pallas import level_groups
+        shapes_t = tuple((int(h), int(w)) for h, w in spatial_shapes)
+        use_proj = (resolve_impl(self.impl) == "pallas"
+                    and reference_points.shape[-1] == 2
+                    and len(level_groups(
+                        shapes_t, D, jnp.dtype(value.dtype).itemsize)) == 1)
+        if use_proj:
+            out = self._proj_rows(query, reference_points, value, shapes_t)
+        else:
+            offsets = self._offsets_dense()(query).reshape(B, Lq, M, L, P, 2)
+            att = self._att_dense()(query).reshape(B, Lq, M, L * P)
+            att = jax.nn.softmax(att, axis=-1).reshape(B, Lq, M, L, P)
+            loc = compute_sampling_locations(reference_points, offsets,
+                                             spatial_shapes, P)
+            out = ms_deform_attn(value, spatial_shapes, loc, att,
+                                 impl=self.impl)
         return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
+
+    def _proj_rows(self, query, reference_points, value, spatial_shapes):
+        """Projection-fused fast path: `TransposedDense` offset/logit rows +
+        in-kernel location math and softmax (`ms_deform_attn_proj`) — no
+        q-major loc/att materialization (2-dim reference points only)."""
+        from ..ops.ms_deform_attn_pallas import (Q_TILE, _round_up,
+                                                 ms_deform_attn_proj)
+        B, Q, _ = query.shape
+        M, L, P = self.n_heads, self.n_levels, self.n_points
+        q_tile = 128 if Q <= 128 else Q_TILE
+        q_pad = _round_up(Q, q_tile)
+        qp = query if q_pad == Q else jnp.pad(
+            query, ((0, 0), (0, q_pad - Q), (0, 0)))
+        f32 = jnp.float32
+        rx = jnp.transpose(reference_points[..., 0], (0, 2, 1)).astype(f32)
+        ry = jnp.transpose(reference_points[..., 1], (0, 2, 1)).astype(f32)
+        if q_pad != Q:
+            pad = ((0, 0), (0, 0), (0, q_pad - Q))
+            rx = jnp.pad(rx, pad, constant_values=-10.0)
+            ry = jnp.pad(ry, pad, constant_values=-10.0)
+        cx, cy = self._offsets_dense(TransposedDense, split_xy=True)(qp)
+        ca = self._att_dense(TransposedDense)(qp)
+        BM = B * M
+        cx = cx.reshape(BM, L * P, q_pad)
+        cy = cy.reshape(BM, L * P, q_pad)
+        ca = ca.reshape(BM, L * P, q_pad)
+        return ms_deform_attn_proj(value, spatial_shapes, rx, ry, cx, cy,
+                                   ca, Q, q_tile)
 
 
 def _temporal_frame_index(n_frames: int, t_window: int,

@@ -734,8 +734,8 @@ def _rows_fwd_fwd(value, spatial_shapes, lx, ly, at, n_queries, q_tile=0):
     return _rows_fwd(value, spatial_shapes, lx, ly, at, n_queries, q_tile)
 
 
-def _rows_fwd_bwd(spatial_shapes, n_queries, q_tile, res, g):
-    value, lx, ly, at = res
+def _rows_bwd_core(spatial_shapes, n_queries, q_tile, value, lx, ly, at, g):
+    """Shared single-frame rows backward (grad_value + row grads in f32)."""
     B, S, M, D = value.shape
     BMG, LP, q_pad = lx.shape
     MG = BMG // B
@@ -757,6 +757,13 @@ def _rows_fwd_bwd(spatial_shapes, n_queries, q_tile, res, g):
     _, vjp = jax.vjp(lambda a, b, c: _taps_rows(spatial_shapes, a, b, c)[1],
                      lx, ly, at)
     glx, gly, gat = vjp(gwt.astype(jnp.float32))
+    return gval, glx, gly, gat
+
+
+def _rows_fwd_bwd(spatial_shapes, n_queries, q_tile, res, g):
+    value, lx, ly, at = res
+    gval, glx, gly, gat = _rows_bwd_core(spatial_shapes, n_queries, q_tile,
+                                         value, lx, ly, at, g)
     return (gval.astype(value.dtype), glx.astype(lx.dtype),
             gly.astype(ly.dtype), gat.astype(at.dtype))
 
@@ -1326,6 +1333,185 @@ def _temporal_proj_fwd_bwd(spatial_shapes, n_queries, rule, q_tile, res, g):
 
 ms_deform_attn_temporal_proj.defvjp(_temporal_proj_fwd_fwd,
                                     _temporal_proj_fwd_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Projection-fused single-frame op (image-model encoder hot path)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_proj(ranges_ref, ve_ref, vo_ref, rx_ref, ry_ref, cx_ref,
+                     cy_ref, ca_ref, out_ref, we_ref, wo_ref, *,
+                     spatial_shapes, level_starts, s_tile: int, P: int,
+                     acc_dtype):
+    """Single-frame analog of `_fwd_kernel_temporal_proj`: raw offset/logit
+    rows in, per-head softmax over L·P and location math in-kernel
+    (reference ms_deform_attn.py L99-117)."""
+    D = out_ref.shape[1]
+    Qt = out_ref.shape[2]
+    f32 = jnp.float32
+    rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0).astype(f32)
+
+    cl = ca_ref[0].astype(f32)                        # (L·P, Qt)
+    mx = jnp.max(cl, axis=0, keepdims=True)
+    ec = jnp.exp(cl - mx)
+    att = ec / jnp.sum(ec, axis=0, keepdims=True)
+
+    acc_e = jnp.zeros((D, Qt), f32)
+    acc_o = jnp.zeros((D, Qt), f32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        offx = cx_ref[0, lvl * P:(lvl + 1) * P, :].astype(f32)
+        offy = cy_ref[0, lvl * P:(lvl + 1) * P, :].astype(f32)
+        at = att[lvl * P:(lvl + 1) * P, :]
+        lx = rx_ref[0, lvl:lvl + 1, :] + offx * np.float32(1.0 / w)
+        ly = ry_ref[0, lvl:lvl + 1, :] + offy * np.float32(1.0 / h)
+        entries = _level_entries(lx, ly, at, h, w)
+        base_w = ranges_ref[0, 0, lvl, 0]
+        num_t = ranges_ref[0, 0, lvl, 1]
+
+        def body(t, accs, lvl=lvl, entries=entries, base_w=base_w):
+            acc_e, acc_o = accs
+            s0 = pl.multiple_of(base_w + t * s_tile, 8)
+            vte = ve_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
+            vto = vo_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
+            cols = rows0 + s0.astype(f32)
+            we_ref[:] = jnp.zeros_like(we_ref)
+            wo_ref[:] = jnp.zeros_like(wo_ref)
+            zero = jnp.zeros((), we_ref.dtype)
+            for ide, wte, ido, wto in entries:
+                for p in range(P):
+                    we_ref[:] += jnp.where(ide[p:p + 1, :] == cols,
+                                           wte[p:p + 1, :], zero)
+                    wo_ref[:] += jnp.where(ido[p:p + 1, :] == cols,
+                                           wto[p:p + 1, :], zero)
+            acc_e = acc_e + jax.lax.dot_general(
+                vte.astype(acc_dtype), we_ref[:].astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_o = acc_o + jax.lax.dot_general(
+                vto.astype(acc_dtype), wo_ref[:].astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc_e, acc_o
+
+        acc_e, acc_o = jax.lax.fori_loop(0, num_t, body, (acc_e, acc_o))
+    out_ref[0] = (acc_e + acc_o).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 8, 9))
+def _fwd_call_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry, cx, cy,
+                   ca, q_tile: int, s_tile: int):
+    BM, S_pad, D = value_e.shape
+    B = rx.shape[0]
+    M = BM // B
+    L = len(spatial_shapes)
+    q_pad = rx.shape[2]
+    P = cx.shape[1] // L
+    tx0 = jnp.zeros((BM, 0, q_pad), cx.dtype)
+    ranges = _row_ranges_proj(rx, ry, cx, cy, tx0, tx0, spatial_shapes, 1,
+                              q_tile, s_tile)
+    level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
+    acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
+        else jnp.float32
+    val_spec = pl.BlockSpec((1, S_pad, D), lambda bm, qt: (bm, 0, 0),
+                            memory_space=pltpu.VMEM)
+    ref_spec = pl.BlockSpec((1, L, q_tile), lambda bm, qt: (bm // M, 0, qt),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, L * P, q_tile), lambda bm, qt: (bm, 0, qt),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_fwd_kernel_proj,
+                               spatial_shapes=spatial_shapes,
+                               level_starts=level_starts,
+                               s_tile=s_tile, P=P, acc_dtype=acc_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(BM, q_pad // q_tile),
+        in_specs=[pl.BlockSpec((1, 1, L, 2), lambda bm, qt: (bm, qt, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  val_spec, val_spec, ref_spec, ref_spec,
+                  row_spec, row_spec, row_spec],
+        out_specs=pl.BlockSpec((1, D, q_tile), lambda bm, qt: (bm, 0, qt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BM, D, q_pad), value_e.dtype),
+        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
+                        pltpu.VMEM((s_tile, q_tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(ranges, value_e, value_o, rx, ry, cx, cy, ca)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 7, 8))
+def ms_deform_attn_proj(value, spatial_shapes: Shapes, rx, ry, cx, cy, ca,
+                        n_queries: int, q_tile: int = 0):
+    """Projection-fused single-frame attention (encoder semantics).
+
+    value: (B, S, M, D); rx/ry: (B, L, q_pad) per-level reference points
+    (padded queries carry −10); cx/cy: (B·M, L·P, q_pad) raw offsets; ca:
+    pre-softmax attention logits of the same row shape. Locations
+    = ref + off/(w_l, h_l) and the per-head softmax over L·P both run
+    in-kernel. Returns (B, n_queries, M·D)."""
+    out, _ = _proj_fwd(value, spatial_shapes, rx, ry, cx, cy, ca,
+                       n_queries, q_tile)
+    return out
+
+
+def _proj_fwd(value, spatial_shapes, rx, ry, cx, cy, ca, n_queries, q_tile):
+    B, S, M, D = value.shape
+    q_pad = rx.shape[2]
+    q_tile = q_tile or (128 if q_pad <= 128 else Q_TILE)
+    assert q_pad % q_tile == 0, (q_pad, q_tile)
+    value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
+    value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
+    out_bm = _fwd_call_proj(tuple(spatial_shapes), value_e, value_o,
+                            rx, ry, cx, cy, ca, q_tile, S_TILE)
+    out = out_bm.reshape(B, M, D, q_pad)[..., :n_queries]
+    out = jnp.transpose(out, (0, 3, 1, 2)).reshape(B, n_queries, M * D)
+    return out.astype(value.dtype), (value, rx, ry, cx, cy, ca)
+
+
+def _build_rows_from_proj_single(spatial_shapes: Shapes, rx, ry, cx, cy, ca):
+    """Differentiable XLA rows reconstruction for the single-frame proj op —
+    backward path and parity oracle. Same math as `_fwd_kernel_proj`."""
+    B, L, q_pad = rx.shape
+    BM = cx.shape[0]
+    M = BM // B
+    P = cx.shape[1] // L
+    f32 = jnp.float32
+    rxr = rx.astype(f32).reshape(B, 1, L, 1, q_pad)
+    ryr = ry.astype(f32).reshape(B, 1, L, 1, q_pad)
+    cxr = cx.astype(f32).reshape(B, M, L, P, q_pad)
+    cyr = cy.astype(f32).reshape(B, M, L, P, q_pad)
+    wn = np.asarray([w for _, w in spatial_shapes], np.float32)
+    hn = np.asarray([h for h, _ in spatial_shapes], np.float32)
+    lx = (rxr + cxr * (1.0 / wn).reshape(1, 1, L, 1, 1)).reshape(
+        BM, L * P, q_pad)
+    ly = (ryr + cyr * (1.0 / hn).reshape(1, 1, L, 1, 1)).reshape(
+        BM, L * P, q_pad)
+    at = jax.nn.softmax(ca.astype(f32), axis=1)
+    return lx, ly, at
+
+
+def _proj_fwd_fwd(value, spatial_shapes, rx, ry, cx, cy, ca, n_queries,
+                  q_tile=0):
+    return _proj_fwd(value, spatial_shapes, rx, ry, cx, cy, ca, n_queries,
+                     q_tile)
+
+
+def _proj_fwd_bwd(spatial_shapes, n_queries, q_tile, res, g):
+    value, rx, ry, cx, cy, ca = res
+    build = functools.partial(_build_rows_from_proj_single,
+                              tuple(spatial_shapes))
+    (lx, ly, at), vjp_rows = jax.vjp(build, rx, ry, cx, cy, ca)
+    gval, glx, gly, gat = _rows_bwd_core(spatial_shapes, n_queries, q_tile,
+                                         value, lx, ly, at, g)
+    grads = vjp_rows((glx.astype(jnp.float32), gly.astype(jnp.float32),
+                      gat.astype(jnp.float32)))
+    return (gval.astype(value.dtype),) + tuple(
+        gr.astype(r.dtype) for gr, r in zip(grads, (rx, ry, cx, cy, ca)))
+
+
+ms_deform_attn_proj.defvjp(_proj_fwd_fwd, _proj_fwd_bwd)
 
 
 def ms_deform_attn_temporal(value, spatial_shapes: Shapes, loc, att,

@@ -412,6 +412,81 @@ class TestTemporalProjOp:
                                        rtol=1e-4, atol=1e-4)
 
 
+class TestProjOp:
+    """Single-frame projection-fused op vs XLA-built rows."""
+
+    def _case(self, rng, B=2, M=2, D=16, P=3):
+        from devis_tpu.ops.ms_deform_attn_pallas import _round_up
+        L = len(SHAPES)
+        Q = 40
+        q_pad = _round_up(Q, 128)
+        value = jnp.asarray(rng.rand(B, S, M, D), jnp.float32)
+        rx = jnp.asarray(rng.rand(B, L, q_pad), jnp.float32)
+        ry = jnp.asarray(rng.rand(B, L, q_pad), jnp.float32)
+        rx = rx.at[:, :, Q:].set(-10.0)
+        ry = ry.at[:, :, Q:].set(-10.0)
+        def rows():
+            return jnp.asarray(rng.randn(B * M, L * P, q_pad) * 3,
+                               jnp.float32)
+        return value, (rx, ry, rows(), rows(), rows()), Q
+
+    def test_forward_matches_rows(self, rng):
+        from devis_tpu.ops.ms_deform_attn_pallas import (
+            _build_rows_from_proj_single, ms_deform_attn_proj,
+            ms_deform_attn_rows)
+        value, args, Q = self._case(rng)
+        out = ms_deform_attn_proj(value, SHAPES, *args, Q)
+        lx, ly, at = _build_rows_from_proj_single(SHAPES, *args)
+        ref = ms_deform_attn_rows(value, SHAPES, lx, ly, at, Q)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_grads_match_rows(self, rng):
+        from devis_tpu.ops.ms_deform_attn_pallas import (
+            _build_rows_from_proj_single, ms_deform_attn_proj,
+            ms_deform_attn_rows)
+        value, args, Q = self._case(rng, B=1)
+
+        def f_p(v, *a):
+            return (ms_deform_attn_proj(v, SHAPES, *a, Q) ** 2).sum()
+
+        def f_r(v, *a):
+            lx, ly, at = _build_rows_from_proj_single(SHAPES, *a)
+            return (ms_deform_attn_rows(v, SHAPES, lx, ly, at, Q) ** 2).sum()
+
+        an = tuple(range(1 + len(args)))
+        g_p = jax.grad(f_p, argnums=an)(value, *args)
+        g_r = jax.grad(f_r, argnums=an)(value, *args)
+        for a, b in zip(g_p, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_msdeformattn_proj_matches_xla(rng):
+    """MSDeformAttn's projection-fused path (2-dim refs) vs the q-major XLA
+    path with shared params, forward and grads."""
+    from devis_tpu.models.attention import MSDeformAttn
+    d_model, M, P, L = 64, 4, 2, len(SHAPES)
+    B = 2
+    kwargs = dict(d_model=d_model, n_levels=L, n_heads=M, n_points=P)
+    query = jnp.asarray(rng.randn(B, S, d_model), jnp.float32)
+    flat = jnp.asarray(rng.randn(B, S, d_model), jnp.float32)
+    refpts = jnp.asarray(rng.rand(B, S, L, 2), jnp.float32)
+    m_xla = MSDeformAttn(impl="xla", **kwargs)
+    params = m_xla.init(jax.random.PRNGKey(0), query, refpts, flat, SHAPES)
+    out_xla = m_xla.apply(params, query, refpts, flat, SHAPES)
+    m_p = MSDeformAttn(impl="pallas", **kwargs)
+    out_p = m_p.apply(params, query, refpts, flat, SHAPES)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_xla),
+                               rtol=1e-4, atol=1e-5)
+    g_p = jax.grad(lambda p: (m_p.apply(p, query, refpts, flat, SHAPES)
+                              ** 2).sum())(params)
+    g_x = jax.grad(lambda p: (m_xla.apply(p, query, refpts, flat, SHAPES)
+                              ** 2).sum())(params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4), g_p, g_x)
+
+
 def test_encoder_stacked_fallback_matches_xla(rng, monkeypatch):
     """Pyramids that exceed the VMEM level-group budget must route through
     `_fused_rows_stacked` and still match the q-major XLA path."""
