@@ -151,3 +151,33 @@ class TestDeVISModel:
         variables = model.init(jax.random.PRNGKey(0), imgs, mask)
         out, results = model.apply(variables, imgs, mask, train=False)
         assert results["scores"].shape == (T, 5)
+
+
+def test_resnet_stem_space_to_depth_exact(rng_np):
+    """The 4x4/s1 space-to-depth stem reformulation must equal the plain
+    7x7/s2 conv bit-for-bit in f32 (even H/W), and the odd-H/W fallback
+    must use the direct conv (reference resnet stem, torchvision conv1)."""
+    from devis_tpu.models.backbones.resnet import _stem_conv, _StemParams
+    import flax.linen as nn
+
+    class Direct(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            w = _StemParams(name="conv1")().astype(x.dtype)
+            return jax.lax.conv_general_dilated(
+                x, w, window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    class S2D(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return _stem_conv(self, x, x.dtype)
+
+    for H, W in [(32, 48), (30, 34), (31, 48), (32, 45)]:
+        x = jnp.asarray(rng_np.randn(2, H, W, 3), jnp.float32)
+        params = Direct().init(jax.random.PRNGKey(0), x)
+        want = Direct().apply(params, x)
+        got = S2D().apply(params, x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
