@@ -78,9 +78,38 @@ def main():
     float(res["scores"][0, 0])                            # force completion
     dt = (time.perf_counter() - t0) / n_iter
     fps = STRIDE / dt
-    print(json.dumps({"metric": "yt19_r50_clip_inference_fps",
-                      "value": round(fps, 2), "unit": "frames/s",
-                      "vs_baseline": round(fps / BASELINE_FPS, 3)}))
+
+    # Honest end-to-end number: the REAL pipeline (model + tracker + RLE)
+    # over synthetic videos, frames / (inference + tracking) exactly like the
+    # reference `src/engine.py:227-230` — validates that host stitching stays
+    # hidden behind the device forward.
+    e2e = None
+    try:
+        e2e = round(_e2e_fps(cfg, model, variables), 2)
+    except Exception as exc:                               # pragma: no cover
+        print(f"# e2e bench skipped: {exc!r}")
+    rec = {"metric": "yt19_r50_clip_inference_fps",
+           "value": round(fps, 2), "unit": "frames/s",
+           "vs_baseline": round(fps / BASELINE_FPS, 3)}
+    if e2e is not None:
+        rec["e2e_fps"] = e2e
+        rec["e2e_vs_baseline"] = round(e2e / BASELINE_FPS, 3)
+    print(json.dumps(rec))
+
+
+def _e2e_fps(cfg, model, variables) -> float:
+    """frames / (inference+tracking) over synthetic videos (real pipeline)."""
+    from devis_tpu.datasets.synthetic import SyntheticVISValDataset
+    from devis_tpu.inference import build_tracker, inference_vis
+
+    dataset = SyntheticVISValDataset(
+        num_frames=T, stride=STRIDE, n_videos=3, video_len=36,
+        size=(360, 640), min_size=cfg.INPUT.MIN_SIZE_TEST,
+        max_size=cfg.INPUT.MAX_SIZE_TEST)
+    tracker = build_tracker(cfg, model, variables)
+    inference_vis(tracker, dataset, verbose=False)         # compile + warm
+    out = inference_vis(tracker, dataset, verbose=False)
+    return float(out["fps"])
 
 
 if __name__ == "__main__":
