@@ -155,7 +155,7 @@ class SyntheticVISValDataset:
         self.max_clip_length = num_frames
         self.overlap_window = num_frames - stride
         self.has_gt = True
-        transform = ValTransform(min_size, max_size)
+        transform = ValTransform(min_size, max_size, normalize=False)
         self.synthetic_videos = [SyntheticVideo(i + 1, video_len, size, seed=seed)
                                  for i in range(n_videos)]
         self.videos = []

@@ -268,14 +268,21 @@ def boxes_from_masks(masks: np.ndarray) -> np.ndarray:
 
 
 class ValTransform:
-    """Deterministic min/max-side resize + normalize."""
+    """Deterministic min/max-side resize + normalize.
 
-    def __init__(self, min_size: int, max_size: int):
+    With `normalize=False` the resized image is returned as raw uint8 — the
+    imagenet normalization then runs ON DEVICE inside the jitted forward
+    (`inference.VISInferFn`), quartering the host→device image payload."""
+
+    def __init__(self, min_size: int, max_size: int, normalize: bool = True):
         self.min_size = min_size
         self.max_size = max_size
+        self.normalize = normalize
 
     def __call__(self, image: np.ndarray) -> np.ndarray:
         oh, ow = get_size_with_aspect_ratio(image.shape[:2], self.min_size,
                                             self.max_size)
         image = cv2.resize(image, (ow, oh), interpolation=cv2.INTER_LINEAR)
+        if not self.normalize:
+            return np.ascontiguousarray(image, np.uint8)
         return normalize_sample({"image": image})["image"]

@@ -164,14 +164,18 @@ class VideoClips:
         return len(self.video_clips)
 
     def load_clip(self, idx: int) -> np.ndarray:
-        """(T, H, W, 3) normalized frames of clip `idx`."""
+        """(T, H, W, 3) frames of clip `idx` — normalized f32, or raw uint8
+        when the transform defers normalization to the device."""
+        raw = not getattr(self.transform, "normalize", True)
         frames = []
         for name in self.video_clips[idx]:
             img = cv2.imread(os.path.join(self.images_folder, name),
                              cv2.IMREAD_COLOR)
             if img is None:
                 raise FileNotFoundError(name)
-            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            if not raw:
+                img = img.astype(np.float32)
             frames.append(self.transform(img))
         return np.stack(frames)
 
@@ -187,7 +191,7 @@ class VISValDataset:
         self.cat_names = {c["id"]: c["name"]
                           for c in self.annotations["categories"]}
         self.cat_names[0] = "Bkg"
-        transform = ValTransform(min_size, max_size)
+        transform = ValTransform(min_size, max_size, normalize=False)
         self.videos = [self._parse_video(v, images_folder, transform)
                        for v in self.annotations["videos"]]
 

@@ -55,6 +55,14 @@ def lib() -> Optional[ctypes.CDLL]:
     L.rle_iou_matrix.argtypes = [c_long_p, c_long_p, c_long_p, ctypes.c_long,
                                  c_long_p, c_long_p, c_long_p, ctypes.c_long,
                                  u8_p, ctypes.POINTER(ctypes.c_double)]
+    if hasattr(L, "rle_counts_to_string"):      # stale prebuilt .so guard
+        c_char_p = ctypes.POINTER(ctypes.c_char)
+        L.rle_counts_to_string.restype = ctypes.c_long
+        L.rle_counts_to_string.argtypes = [c_long_p, ctypes.c_long, c_char_p,
+                                           ctypes.c_long]
+        L.rle_string_to_counts.restype = ctypes.c_long
+        L.rle_string_to_counts.argtypes = [c_char_p, ctypes.c_long, c_long_p,
+                                           ctypes.c_long]
     _lib = L
     return _lib
 
@@ -112,3 +120,31 @@ def iou_matrix(dt_counts_list, gt_counts_list, iscrowd) -> Optional[np.ndarray]:
                      _ptr_u8(crowd),
                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out
+
+
+def counts_to_string(counts: np.ndarray) -> Optional[str]:
+    """int64 counts → pycocotools char string, or None if no lib."""
+    L = lib()
+    if L is None or not hasattr(L, "rle_counts_to_string"):
+        return None
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    buf = ctypes.create_string_buffer(13 * max(1, len(counts)))
+    n = L.rle_counts_to_string(_ptr_long(counts), len(counts), buf, len(buf))
+    if n < 0:
+        return None
+    return buf.raw[:n].decode("ascii")
+
+
+def string_to_counts(s: str) -> Optional[np.ndarray]:
+    """pycocotools char string → int64 counts, or None if no lib."""
+    L = lib()
+    if L is None or not hasattr(L, "rle_string_to_counts"):
+        return None
+    raw = s.encode("ascii")
+    out = np.empty(max(1, len(raw)), dtype=np.int64)
+    n = L.rle_string_to_counts(
+        ctypes.cast(ctypes.c_char_p(raw), ctypes.POINTER(ctypes.c_char)),
+        len(raw), _ptr_long(out), out.size)
+    if n < 0:
+        return None
+    return out[:n]

@@ -21,14 +21,22 @@ def encode(mask: np.ndarray) -> Dict:
     """Binary mask (H, W) → RLE dict with compressed string counts."""
     h, w = mask.shape
     flat = np.asarray(mask, dtype=bool).flatten(order="F")
-    # runs of equal values; counts start with the number of leading zeros
     if flat.size == 0:
         return {"size": [h, w], "counts": ""}
-    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
-    boundaries = np.concatenate([[0], change, [flat.size]])
-    counts = np.diff(boundaries).tolist()
-    if flat[0]:
-        counts = [0] + counts
+    from . import _native
+    counts = _native.encode_counts(flat.view(np.uint8))
+    if counts is not None:
+        s = _native.counts_to_string(counts)
+        if s is not None:
+            return {"size": [h, w], "counts": s}
+        counts = counts.tolist()
+    else:
+        # runs of equal values; counts start with the number of leading zeros
+        change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+        boundaries = np.concatenate([[0], change, [flat.size]])
+        counts = np.diff(boundaries).tolist()
+        if flat[0]:
+            counts = [0] + counts
     return {"size": [h, w], "counts": _counts_to_string(counts)}
 
 
@@ -136,6 +144,10 @@ def merge(rles: Sequence[Dict], intersect: bool = False) -> Dict:
 # ---------------------------------------------------------------------------
 
 def _counts_to_string(counts: List[int]) -> str:
+    from . import _native
+    s = _native.counts_to_string(np.asarray(counts, np.int64))
+    if s is not None:
+        return s
     chars = []
     for i, c in enumerate(counts):
         x = int(c)
@@ -153,6 +165,10 @@ def _counts_to_string(counts: List[int]) -> str:
 
 
 def _string_to_counts(s: str) -> List[int]:
+    from . import _native
+    c = _native.string_to_counts(s)
+    if c is not None:
+        return c.tolist()
     counts: List[int] = []
     p = 0
     n = len(s)

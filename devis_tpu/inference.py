@@ -14,6 +14,7 @@ and conversion happens lazily at first numpy access).
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -60,37 +61,64 @@ class VISInferFn:
         self.num_frames = num_frames
         self.buckets = buckets
         self.mask_stride = mask_stride
-        self._fwd = jax.jit(
-            lambda v, i, m, cl: model.apply(v, i, m, train=False,
-                                            clip_length=cl))
+        from .datasets.transforms import IMAGENET_MEAN, IMAGENET_STD
 
-    def __call__(self, video, clip_idx: int) -> Dict[str, np.ndarray]:
-        frames = video.load_clip(clip_idx)            # (T, h, w, 3) normalized
+        def _run(v, images, hw, cl, *, raw: bool):
+            # hw: (2,) int32 valid (h, w) — the pad mask is BUILT on device
+            # from two scalars instead of shipping a (T, Hc, Wc) bool canvas.
+            T, Hc, Wc = images.shape[:3]
+            if raw:                       # uint8 in: imagenet-normalize here
+                img = ((images.astype(jnp.float32) / 255.0
+                        - jnp.asarray(IMAGENET_MEAN))
+                       / jnp.asarray(IMAGENET_STD))
+            else:
+                img = images
+            pad = ((jnp.arange(Hc)[:, None] >= hw[0])
+                   | (jnp.arange(Wc)[None, :] >= hw[1]))
+            pad = jnp.broadcast_to(pad[None], (T, Hc, Wc))
+            _, res = model.apply(v, img, pad, train=False, clip_length=cl)
+            res = dict(res)
+            # mask logits dominate the device→host payload; f16 halves it
+            # (sigmoid downstream is insensitive at logit scale)
+            res["masks"] = res["masks"].astype(jnp.float16)
+            return res
+
+        self._fwd_raw = jax.jit(functools.partial(_run, raw=True))
+        self._fwd_norm = jax.jit(functools.partial(_run, raw=False))
+
+    # -- pipeline stages (Tracker overlaps them on separate threads) --------
+    def prepare(self, video, clip_idx: int):
+        """Host stage: load + canvas-pad one clip (no device work)."""
+        frames = video.load_clip(clip_idx)   # (T, h, w, 3) uint8 or f32
         T, h, w = frames.shape[:3]
         assert T == self.num_frames, (T, self.num_frames)
         Hc, Wc = pick_canvas(h, w, self.buckets)
-        images = np.zeros((T, Hc, Wc, 3), np.float32)
-        pad_mask = np.ones((T, Hc, Wc), bool)
+        images = np.zeros((T, Hc, Wc, 3), frames.dtype)
         images[:, :h, :w] = frames
-        pad_mask[:, :h, :w] = False
 
         real_len = video.real_video_length
         clip_length = T if real_len is None or real_len >= T else real_len
+        return images, (h, w), clip_length
 
-        out, res = self._fwd(self.variables, jnp.asarray(images),
-                             jnp.asarray(pad_mask), jnp.asarray(clip_length))
+    def run(self, prepared) -> Dict[str, np.ndarray]:
+        """Device stage: dispatch the jitted forward and fetch results."""
+        images, (h, w), clip_length = prepared
+        fwd = self._fwd_raw if images.dtype == np.uint8 else self._fwd_norm
+        res = fwd(self.variables, jnp.asarray(images),
+                  jnp.asarray([h, w], np.int32), jnp.asarray(clip_length))
         res = jax.device_get(res)
         # Predictions are normalized to the UN-padded image (the valid-ratio
         # machinery, transformer.py:258) — no canvas rescale needed.
-        boxes = res["boxes"]
-        centers = res["center_points"]
         st = self.mask_stride
         hv = max(1, round(h / st))
         wv = max(1, round(w / st))
         return {"scores": res["scores"], "labels": res["labels"],
-                "boxes": boxes, "center_points": centers,
+                "boxes": res["boxes"], "center_points": res["center_points"],
                 "mask_logits": res["masks"], "mask_gather": res["mask_gather"],
                 "valid_hw": (hv, wv)}
+
+    def __call__(self, video, clip_idx: int) -> Dict[str, np.ndarray]:
+        return self.run(self.prepare(video, clip_idx))
 
 
 def build_tracker(cfg, model, variables) -> Tracker:
@@ -213,7 +241,14 @@ def evaluate_coco(model, variables, dataset, cfg, verbose: bool = True,
     buckets = make_eval_buckets(cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST)
     mask_on = bool(cfg.MODEL.MASK_ON)
 
-    fwd = jax.jit(lambda v, i, m: model.apply(v, i, m, train=False))
+    def _fwd(v, i, m):
+        out = model.apply(v, i, m, train=False)
+        if "masks" in out.get("top_k", {}):
+            # mask logits dominate the device→host payload; f16 halves it
+            out["top_k"] = dict(out["top_k"],
+                                masks=out["top_k"]["masks"].astype(jnp.float16))
+        return out
+    fwd = jax.jit(_fwd)
     evaluator = CocoEvaluator(dataset.gt_dict(),
                               iou_types=("bbox", "segm") if mask_on
                               else ("bbox",))
@@ -244,7 +279,8 @@ def evaluate_coco(model, variables, dataset, cfg, verbose: bool = True,
     my_images = [(rank + k * n_proc) % n_images for k in range(per_proc)] \
         if n_images else []
 
-    for j, idx in enumerate(my_images):
+    def _prep(idx):
+        """Host stage: decode + canvas-pad one image (loader thread)."""
         sample = dataset[idx]
         img = sample["image"]
         h, w = img.shape[:2]
@@ -253,21 +289,13 @@ def evaluate_coco(model, variables, dataset, cfg, verbose: bool = True,
         pad_mask = np.ones((1, Hc, Wc), bool)
         images[0, :h, :w] = img
         pad_mask[0, :h, :w] = False
-        out = jax.device_get(fwd(variables, jnp.asarray(images),
-                                 jnp.asarray(pad_mask)))
-        tk = out["top_k"]
-        if loss_fn is not None and len(sample.get("labels", ())):
-            # slot capacity can't exceed assignable queries (cf. main.py:190)
-            batch = collate_images([sample], (Hc, Wc),
-                                   max_instances=min(cfg.TPU.MAX_INSTANCES,
-                                                     cfg.MODEL.NUM_QUERIES))
-            losses = jax.device_get(loss_fn(
-                variables, jnp.asarray(batch["images"]),
-                jnp.asarray(batch["pad_mask"]),
-                jax.tree.map(jnp.asarray, batch["targets"])))
-            for k, val in losses.items():
-                loss_sums[k] = loss_sums.get(k, 0.0) + float(val)
-            loss_count += 1
+        return sample, images, pad_mask, (h, w), (Hc, Wc)
+
+    def _postprocess(sample, out_dev, hw, canvas):
+        """Host stage: fetch + convert one image's predictions."""
+        h, w = hw
+        Hc, Wc = canvas
+        tk = jax.device_get(out_dev["top_k"])
         oh, ow = sample["orig_size"]
         # image-normalized cxcywh → absolute xyxy in the original image
         b = tk["boxes"][0]
@@ -294,8 +322,46 @@ def evaluate_coco(model, variables, dataset, cfg, verbose: bool = True,
                 masks.append(mm > 0)
             res["masks"] = masks
         evaluator.update({int(sample["image_id"]): res})
+
+    # Pipeline loader / device / host (mirrors the VIS tracker): image j+2
+    # decodes on a loader thread, image j+1's forward is dispatched (XLA runs
+    # it asynchronously), and image j's predictions are postprocessed on the
+    # host — the reference loop is fully serial (engine.py:98-203).
+    from concurrent.futures import ThreadPoolExecutor
+    loader = ThreadPoolExecutor(max_workers=1)
+    preps: Dict[int, object] = {}
+
+    def ensure_prep(k):
+        if k not in preps and k < len(my_images):
+            preps[k] = loader.submit(_prep, my_images[k])
+
+    ensure_prep(0)
+    ensure_prep(1)
+    pending = None
+    for j in range(len(my_images)):
+        sample, images, pad_mask, hw, canvas = preps.pop(j).result()
+        ensure_prep(j + 2)
+        out_dev = fwd(variables, jnp.asarray(images), jnp.asarray(pad_mask))
+        if loss_fn is not None and len(sample.get("labels", ())):
+            # slot capacity can't exceed assignable queries (cf. main.py:190)
+            batch = collate_images([sample], canvas,
+                                   max_instances=min(cfg.TPU.MAX_INSTANCES,
+                                                     cfg.MODEL.NUM_QUERIES))
+            losses = jax.device_get(loss_fn(
+                variables, jnp.asarray(batch["images"]),
+                jnp.asarray(batch["pad_mask"]),
+                jax.tree.map(jnp.asarray, batch["targets"])))
+            for k, val in losses.items():
+                loss_sums[k] = loss_sums.get(k, 0.0) + float(val)
+            loss_count += 1
+        if pending is not None:
+            _postprocess(*pending)
+        pending = (sample, out_dev, hw, canvas)
         if verbose and (j + 1) % 50 == 0:
             print(f"eval {j + 1}/{len(my_images)}", flush=True)
+    if pending is not None:
+        _postprocess(*pending)
+    loader.shutdown(wait=False)
 
     if n_proc > 1:
         # Cross-rank merge before accumulation (reference coco_eval.py:172-208

@@ -42,15 +42,17 @@ docs/PERFORMANCE.md):
     one accumulator per parity class to keep the two matmul chains
     independent.
 
-The backward pass (custom VJP below) keeps the materialized-tap route:
-`_taps` produces parity-routed packed idx/wt as (B·M, L·K, q_pad), and
+The backward pass (custom VJP below):
     grad_value[s]  = Σ_q W[q, s] · g[q]          (Wᵀ @ g — a matmul,
                                                   deterministic scatter-free)
     grad_wt[q, k]  = g[q] · value[idx[q, k]]     (extracted from v @ gᵀ with
                                                   the same compares)
-with the chain rule from per-tap weights back to attention weights / sampling
-locations as cheap elementwise XLA (`_taps` is differentiable). Moving the
-backward to in-kernel taps as well is a known follow-up.
+The rows-form backward (`_bwd_call_rows`) generates taps in-kernel from the
+same raw location/attention rows as the forward AND applies the bilinear
+chain rule in-kernel, emitting grad rows (glx, gly, gat) directly — no
+materialized idx/wt operands and no XLA `_taps_rows` VJP pass. The q-major
+legacy op (`ms_deform_attn_pallas`) keeps the materialized-tap route
+(`_taps` → `_bwd_call` → XLA chain rule).
 
 Reference semantics being reproduced: the CUDA forward
 `/root/reference/src/models/ops/src/cuda/ms_deform_im2col_cuda.cuh:238` and
@@ -485,6 +487,405 @@ def _bwd_call(spatial_shapes: Shapes, value_e, value_o, idx, wt, ranges, g_bm,
 
 
 # ---------------------------------------------------------------------------
+# Rows-operand backward: in-kernel taps + in-kernel bilinear chain rule
+# ---------------------------------------------------------------------------
+
+
+def _row_ranges_bwd(lx, ly, spatial_shapes: Shapes, q_tile: int, s_tile: int,
+                    P: int):
+    """Per (b·m·g, q-tile, level) packed s-window [start_tile, count] in
+    s_tile units (the backward kernel's grad_value writes are tile-aligned).
+    Same span math as `_row_ranges`."""
+    BMG, LP, q_pad = lx.shape
+    nqt = q_pad // q_tile
+    sts, cts = [], []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        x = lx[:, lvl * P:(lvl + 1) * P].reshape(BMG, P, nqt, q_tile) * w - 0.5
+        y = ly[:, lvl * P:(lvl + 1) * P].reshape(BMG, P, nqt, q_tile) * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        valid = (x > -1) & (x < w) & (y > -1) & (y < h)
+        lo = jnp.floor((jnp.clip(y0, 0, h - 1) * w
+                        + jnp.clip(x0, 0, w - 1)) * 0.5)
+        hi = jnp.floor((jnp.clip(y0 + 1, 0, h - 1) * w
+                        + jnp.clip(x0 + 1, 0, w - 1)) * 0.5)
+        big = jnp.float32(1 << 30)
+        mn = jnp.min(jnp.where(valid, lo, big), axis=(1, 3)).astype(jnp.int32)
+        mx = jnp.max(jnp.where(valid, hi, -1.0), axis=(1, 3)).astype(jnp.int32)
+        start = jnp.where(mx >= 0, mn // s_tile, 0)
+        cts.append(jnp.where(mx >= 0, mx // s_tile + 1 - mn // s_tile, 0))
+        sts.append(start)
+    st = jnp.stack(sts, axis=-1)                       # (BMG, nqt, L)
+    ct = jnp.stack(cts, axis=-1)
+    return jnp.stack([st, ct], axis=-1).astype(jnp.int32)
+
+
+def _level_entries_bwd(lx, ly, at, h: int, w: int):
+    """Tap generation for the backward: `_level_entries` plus the primitive
+    bilinear factors the in-kernel chain rule needs.
+
+    Returns (entries, parts): entries = [(idx_e, wt_e, idx_o, wt_o)] for
+    top/bottom rows (for the grad_value W tiles), parts = (dx, dy, even_t,
+    even_b, ml_t, mr_t, ml_b, mr_b) — all (P, Qt) f32 (masks as 0/1)."""
+    hf, wf = float(h), float(w)
+    x = lx * wf - 0.5
+    y = ly * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    vx0 = (x0 >= 0) & (x0 <= wf - 1)
+    vx1 = (x0 >= -1) & (x0 <= wf - 2)
+    entries, evens, mls, mrs = [], [], [], []
+    for y_row, wy in ((y0, (1 - dy)), (y0 + 1, dy)):
+        vy = (y_row >= 0) & (y_row <= hf - 1)
+        ml = jnp.where(vy & vx0, one, zero)
+        mr = jnp.where(vy & vx1, one, zero)
+        wl = wy * (1 - dx) * at * ml
+        wr = wy * dx * at * mr
+        base = y_row * wf + x0
+        m_l = jnp.floor(base * 0.5)
+        m_r = jnp.floor((base + 1) * 0.5)
+        even = (base - 2.0 * m_l) == 0
+        entries.append((jnp.where(even, m_l, m_r), jnp.where(even, wl, wr),
+                        jnp.where(even, m_r, m_l), jnp.where(even, wr, wl)))
+        evens.append(even)
+        mls.append(ml)
+        mrs.append(mr)
+    parts = (dx, dy, evens[0], evens[1], mls[0], mrs[0], mls[1], mrs[1])
+    return entries, parts
+
+
+def _bwd_kernel_rows(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
+                     g_ref, gve_ref, gvo_ref, glx_ref, gly_ref, gat_ref,
+                     we_ref, wo_ref, *, spatial_shapes, level_starts,
+                     s_tile: int, P: int, acc_dtype, groups: int = 1):
+    """Backward for one (b·m·g, q-tile): grad_value via the same in-kernel
+    tap generation as the forward (Wᵀ @ g per visited tile), and the full
+    bilinear chain rule to raw rows in-kernel — per level the 4 parity-routed
+    per-entry upstream sums G are accumulated over the visited tiles, then
+        gat = Σ rows  wy · ((1−dx)·m_l·g_l + dx·m_r·g_r)
+        glx = at · Σ rows wy · (m_r·g_r − m_l·g_l) · w
+        gly = at · ((…bottom…) − (…top…)) · h
+    (masks m zero dead taps exactly like the `_taps_rows` XLA chain rule
+    did via its validity factors)."""
+    Qt = g_ref.shape[1]
+    f32 = jnp.float32
+    rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0).astype(f32)
+    g = g_ref[0].astype(f32)                              # (Qt, D)
+
+    bm_i = pl.program_id(0)
+    qt_i = pl.program_id(1)
+
+    @pl.when((qt_i == 0) & (bm_i % groups == 0))
+    def _():
+        gve_ref[0] = jnp.zeros_like(gve_ref[0])
+        gvo_ref[0] = jnp.zeros_like(gvo_ref[0])
+
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        lx = lx_ref[0, lvl * P:(lvl + 1) * P, :]
+        ly = ly_ref[0, lvl * P:(lvl + 1) * P, :]
+        at = at_ref[0, lvl * P:(lvl + 1) * P, :]
+        entries, parts = _level_entries_bwd(lx, ly, at, h, w)
+        start_t = ranges_ref[0, 0, lvl, 0]
+        num_t = ranges_ref[0, 0, lvl, 1]
+        zg = jnp.zeros((P, Qt), f32)
+
+        def body(t, carry, lvl=lvl, entries=entries, start_t=start_t):
+            ge_t, go_t, ge_b, go_b = carry
+            s0 = pl.multiple_of((start_t + t) * s_tile, s_tile)
+            base = level_starts[lvl] + s0
+            vte = ve_ref[0, pl.ds(base, s_tile), :]
+            vto = vo_ref[0, pl.ds(base, s_tile), :]
+            cols = rows0 + s0.astype(f32)
+            we_ref[:] = jnp.zeros_like(we_ref)
+            wo_ref[:] = jnp.zeros_like(wo_ref)
+            zero = jnp.zeros((), we_ref.dtype)
+            for ide, wte, ido, wto in entries:
+                for p in range(P):
+                    we_ref[:] += jnp.where(ide[p:p + 1, :] == cols,
+                                           wte[p:p + 1, :], zero)
+                    wo_ref[:] += jnp.where(ido[p:p + 1, :] == cols,
+                                           wto[p:p + 1, :], zero)
+            # grad_value tile += Wᵀ @ g (deterministic, scatter-free)
+            gve_ref[0, pl.ds(base, s_tile), :] += jax.lax.dot(
+                we_ref[:].astype(acc_dtype), g.astype(acc_dtype),
+                preferred_element_type=jnp.float32).astype(gve_ref.dtype)
+            gvo_ref[0, pl.ds(base, s_tile), :] += jax.lax.dot(
+                wo_ref[:].astype(acc_dtype), g.astype(acc_dtype),
+                preferred_element_type=jnp.float32).astype(gvo_ref.dtype)
+            # per-entry upstream sums: G_class[s, q] = v_class[s]·g[q]
+            G_e = jax.lax.dot_general(
+                vte.astype(acc_dtype), g.astype(acc_dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (s_tile, Qt)
+            G_o = jax.lax.dot_general(
+                vto.astype(acc_dtype), g.astype(acc_dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            news = []
+            for (ide, _, ido, _), acc_e, acc_o in zip(
+                    entries, (ge_t, ge_b), (go_t, go_b)):
+                for p in range(P):
+                    acc_e = jax.lax.dynamic_update_slice(
+                        acc_e, acc_e[p:p + 1, :] + jnp.sum(
+                            jnp.where(ide[p:p + 1, :] == cols, G_e, 0.0),
+                            axis=0, keepdims=True), (p, 0))
+                    acc_o = jax.lax.dynamic_update_slice(
+                        acc_o, acc_o[p:p + 1, :] + jnp.sum(
+                            jnp.where(ido[p:p + 1, :] == cols, G_o, 0.0),
+                            axis=0, keepdims=True), (p, 0))
+                news.append((acc_e, acc_o))
+            return news[0][0], news[0][1], news[1][0], news[1][1]
+
+        ge_t, go_t, ge_b, go_b = jax.lax.fori_loop(
+            0, num_t, body, (zg, zg, zg, zg))
+
+        dx, dy, even_t, even_b, ml_t, mr_t, ml_b, mr_b = parts
+        # undo the parity routing: per row, left/right tap upstream grads
+        gl_t = jnp.where(even_t, ge_t, go_t) * ml_t
+        gr_t = jnp.where(even_t, go_t, ge_t) * mr_t
+        gl_b = jnp.where(even_b, ge_b, go_b) * ml_b
+        gr_b = jnp.where(even_b, go_b, ge_b) * mr_b
+        top = (1 - dx) * gl_t + dx * gr_t
+        bot = (1 - dx) * gl_b + dx * gr_b
+        gat_lvl = (1 - dy) * top + dy * bot
+        glx_lvl = at * ((1 - dy) * (gr_t - gl_t)
+                        + dy * (gr_b - gl_b)) * np.float32(w)
+        gly_lvl = at * (bot - top) * np.float32(h)
+        glx_ref[0, lvl * P:(lvl + 1) * P, :] = glx_lvl
+        gly_ref[0, lvl * P:(lvl + 1) * P, :] = gly_lvl
+        gat_ref[0, lvl * P:(lvl + 1) * P, :] = gat_lvl
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7, 8, 9))
+def _bwd_call_rows(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
+                   g_bm, q_tile: int, s_tile: int, groups: int = 1):
+    """lx/ly/at: (B·M·G, L·P, q_pad) f32 raw rows (forward operands);
+    g_bm: (B·M·G, q_pad, D). Returns (gve, gvo, glx, gly, gat)."""
+    BM, S_pad, D = value_e.shape
+    BMG, LP, q_pad = lx.shape
+    L = len(spatial_shapes)
+    P = LP // L
+    ranges = _row_ranges_bwd(lx, ly, spatial_shapes, q_tile, s_tile, P)
+    level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
+    acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
+        else jnp.float32
+    ranges_spec = pl.BlockSpec((1, 1, L, 2), lambda bm, qt: (bm, qt, 0, 0),
+                               memory_space=pltpu.SMEM)
+    value_spec = pl.BlockSpec((1, S_pad, D),
+                              lambda bm, qt: (bm // groups, 0, 0),
+                              memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, LP, q_tile), lambda bm, qt: (bm, 0, qt),
+                            memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, q_tile, D), lambda bm, qt: (bm, qt, 0),
+                          memory_space=pltpu.VMEM)
+    gval_spec = pl.BlockSpec((1, S_pad, D),
+                             lambda bm, qt: (bm // groups, 0, 0),
+                             memory_space=pltpu.VMEM)
+    kernel = functools.partial(_bwd_kernel_rows,
+                               spatial_shapes=spatial_shapes,
+                               level_starts=level_starts, s_tile=s_tile,
+                               P=P, acc_dtype=acc_dtype, groups=groups)
+    return pl.pallas_call(
+        kernel,
+        grid=(BMG, q_pad // q_tile),
+        in_specs=[ranges_spec, value_spec, value_spec,
+                  row_spec, row_spec, row_spec, g_spec],
+        out_specs=(gval_spec, gval_spec, row_spec, row_spec, row_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((BM, S_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((BM, S_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((BMG, LP, q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((BMG, LP, q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((BMG, LP, q_pad), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
+                        pltpu.VMEM((s_tile, q_tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(ranges, value_e, value_o, lx, ly, at, g_bm)
+
+
+def _bwd_kernel_rows_temporal(ranges_ref, *refs, spatial_shapes,
+                              level_starts, s_tile: int, P: int, acc_dtype,
+                              F: int):
+    """`_bwd_kernel_rows` with F per-frame value operand pairs (index-mapped
+    like `_fwd_kernel_temporal`): global level lvl reads value slot lvl // L
+    at local level lvl % L and accumulates grad_value into that slot's OWN
+    per-program output block (slots are folded onto frames by the caller —
+    output blocks are never shared across programs, so no revisit hazard)."""
+    ve_refs = refs[:F]
+    vo_refs = refs[F:2 * F]
+    lx_ref, ly_ref, at_ref, g_ref = refs[2 * F:2 * F + 4]
+    gve_refs = refs[2 * F + 4:3 * F + 4]
+    gvo_refs = refs[3 * F + 4:4 * F + 4]
+    glx_ref, gly_ref, gat_ref = refs[4 * F + 4:4 * F + 7]
+    we_ref, wo_ref = refs[4 * F + 7:]
+    L = len(spatial_shapes)
+    Qt = g_ref.shape[1]
+    f32 = jnp.float32
+    rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0).astype(f32)
+    g = g_ref[0].astype(f32)                              # (Qt, D)
+
+    qt_i = pl.program_id(1)
+
+    @pl.when(qt_i == 0)
+    def _():
+        for j in range(F):
+            gve_refs[j][0] = jnp.zeros_like(gve_refs[j][0])
+            gvo_refs[j][0] = jnp.zeros_like(gvo_refs[j][0])
+
+    for lvl in range(F * L):
+        ll = lvl % L
+        h, w = spatial_shapes[ll]
+        ve_ref = ve_refs[lvl // L]
+        vo_ref = vo_refs[lvl // L]
+        gve_ref = gve_refs[lvl // L]
+        gvo_ref = gvo_refs[lvl // L]
+        lx = lx_ref[0, lvl * P:(lvl + 1) * P, :]
+        ly = ly_ref[0, lvl * P:(lvl + 1) * P, :]
+        at = at_ref[0, lvl * P:(lvl + 1) * P, :]
+        entries, parts = _level_entries_bwd(lx, ly, at, h, w)
+        start_t = ranges_ref[0, 0, lvl, 0]
+        num_t = ranges_ref[0, 0, lvl, 1]
+        zg = jnp.zeros((P, Qt), f32)
+
+        def body(t, carry, ll=ll, entries=entries, start_t=start_t,
+                 ve_ref=ve_ref, vo_ref=vo_ref, gve_ref=gve_ref,
+                 gvo_ref=gvo_ref):
+            ge_t, go_t, ge_b, go_b = carry
+            s0 = pl.multiple_of((start_t + t) * s_tile, s_tile)
+            base = level_starts[ll] + s0
+            vte = ve_ref[0, pl.ds(base, s_tile), :]
+            vto = vo_ref[0, pl.ds(base, s_tile), :]
+            cols = rows0 + s0.astype(f32)
+            we_ref[:] = jnp.zeros_like(we_ref)
+            wo_ref[:] = jnp.zeros_like(wo_ref)
+            zero = jnp.zeros((), we_ref.dtype)
+            for ide, wte, ido, wto in entries:
+                for p in range(P):
+                    we_ref[:] += jnp.where(ide[p:p + 1, :] == cols,
+                                           wte[p:p + 1, :], zero)
+                    wo_ref[:] += jnp.where(ido[p:p + 1, :] == cols,
+                                           wto[p:p + 1, :], zero)
+            gve_ref[0, pl.ds(base, s_tile), :] += jax.lax.dot(
+                we_ref[:].astype(acc_dtype), g.astype(acc_dtype),
+                preferred_element_type=jnp.float32).astype(gve_ref.dtype)
+            gvo_ref[0, pl.ds(base, s_tile), :] += jax.lax.dot(
+                wo_ref[:].astype(acc_dtype), g.astype(acc_dtype),
+                preferred_element_type=jnp.float32).astype(gvo_ref.dtype)
+            G_e = jax.lax.dot_general(
+                vte.astype(acc_dtype), g.astype(acc_dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (s_tile, Qt)
+            G_o = jax.lax.dot_general(
+                vto.astype(acc_dtype), g.astype(acc_dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            news = []
+            for (ide, _, ido, _), acc_e, acc_o in zip(
+                    entries, (ge_t, ge_b), (go_t, go_b)):
+                for p in range(P):
+                    acc_e = jax.lax.dynamic_update_slice(
+                        acc_e, acc_e[p:p + 1, :] + jnp.sum(
+                            jnp.where(ide[p:p + 1, :] == cols, G_e, 0.0),
+                            axis=0, keepdims=True), (p, 0))
+                    acc_o = jax.lax.dynamic_update_slice(
+                        acc_o, acc_o[p:p + 1, :] + jnp.sum(
+                            jnp.where(ido[p:p + 1, :] == cols, G_o, 0.0),
+                            axis=0, keepdims=True), (p, 0))
+                news.append((acc_e, acc_o))
+            return news[0][0], news[0][1], news[1][0], news[1][1]
+
+        ge_t, go_t, ge_b, go_b = jax.lax.fori_loop(
+            0, num_t, body, (zg, zg, zg, zg))
+
+        dx, dy, even_t, even_b, ml_t, mr_t, ml_b, mr_b = parts
+        gl_t = jnp.where(even_t, ge_t, go_t) * ml_t
+        gr_t = jnp.where(even_t, go_t, ge_t) * mr_t
+        gl_b = jnp.where(even_b, ge_b, go_b) * ml_b
+        gr_b = jnp.where(even_b, go_b, ge_b) * mr_b
+        top = (1 - dx) * gl_t + dx * gr_t
+        bot = (1 - dx) * gl_b + dx * gr_b
+        gat_lvl = (1 - dy) * top + dy * bot
+        glx_lvl = at * ((1 - dy) * (gr_t - gl_t)
+                        + dy * (gr_b - gl_b)) * np.float32(w)
+        gly_lvl = at * (bot - top) * np.float32(h)
+        glx_ref[0, lvl * P:(lvl + 1) * P, :] = glx_lvl
+        gly_ref[0, lvl * P:(lvl + 1) * P, :] = gly_lvl
+        gat_ref[0, lvl * P:(lvl + 1) * P, :] = gat_lvl
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
+def _bwd_call_rows_temporal(spatial_shapes: Shapes, value_e, value_o, lx, ly,
+                            at, g_bm, q_tile: int, s_tile: int, T: int,
+                            rule):
+    """Temporal rows backward over per-frame packed values: value_e/value_o
+    (T·M, S_pad, D) read via the forward's closed-form frame index maps (no
+    F×-stacked value materialization), rows (T·M, Lf·P, q_pad) f32. Returns
+    (gve_0..gve_{F-1}, gvo_0..gvo_{F-1}, glx, gly, gat) — per-SLOT value
+    grads in the program's own frame order; the caller folds slots onto
+    frames with the rule's frame table."""
+    TM, S_pad, D = value_e.shape
+    M = TM // T
+    F = 1 + _rule_window(rule, T)
+    LP, q_pad = lx.shape[1], lx.shape[2]
+    fused_shapes = _temporal_fused_shapes(spatial_shapes, F)
+    P = LP // len(fused_shapes)
+    Lf = F * len(spatial_shapes)
+    ranges = _row_ranges_bwd(lx, ly, fused_shapes, q_tile, s_tile, P)
+    level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
+    acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
+        else jnp.float32
+    ranges_spec = pl.BlockSpec((1, 1, Lf, 2), lambda bm, qt: (bm, qt, 0, 0),
+                               memory_space=pltpu.SMEM)
+
+    def _value_spec(j):
+        if j == 0:
+            return pl.BlockSpec((1, S_pad, D), lambda bm, qt: (bm, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def index_map(bm, qt, j=j - 1):
+            t = bm // M
+            f = _temporal_frame_expr(rule, j, t, T)
+            return (f * M + bm % M, 0, 0)
+        return pl.BlockSpec((1, S_pad, D), index_map,
+                            memory_space=pltpu.VMEM)
+
+    row_spec = pl.BlockSpec((1, LP, q_tile), lambda bm, qt: (bm, 0, qt),
+                            memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, q_tile, D), lambda bm, qt: (bm, qt, 0),
+                          memory_space=pltpu.VMEM)
+    gval_spec = pl.BlockSpec((1, S_pad, D), lambda bm, qt: (bm, 0, 0),
+                             memory_space=pltpu.VMEM)
+    kernel = functools.partial(_bwd_kernel_rows_temporal,
+                               spatial_shapes=spatial_shapes,
+                               level_starts=level_starts, s_tile=s_tile,
+                               P=P, acc_dtype=acc_dtype, F=F)
+    specs = [_value_spec(j) for j in range(F)]
+    gval_shape = jax.ShapeDtypeStruct((TM, S_pad, D), jnp.float32)
+    row_shape = jax.ShapeDtypeStruct((TM, LP, q_pad), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(TM, q_pad // q_tile),
+        in_specs=[ranges_spec] + specs + specs
+        + [row_spec, row_spec, row_spec, g_spec],
+        out_specs=tuple([gval_spec] * (2 * F)
+                        + [row_spec, row_spec, row_spec]),
+        out_shape=tuple([gval_shape] * (2 * F) + [row_shape] * 3),
+        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
+                        pltpu.VMEM((s_tile, q_tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=_interpret(),
+    )(ranges, *([value_e] * F), *([value_o] * F), lx, ly, at, g_bm)
+
+
+# ---------------------------------------------------------------------------
 # Public op with custom VJP
 # ---------------------------------------------------------------------------
 
@@ -632,68 +1033,6 @@ ms_deform_attn_pallas.defvjp(_fwd_fwd, _fwd_bwd)
 # Rows-form op: sampling locations already in kernel layout
 # ---------------------------------------------------------------------------
 
-def _taps_rows(spatial_shapes: Shapes, lx, ly, at):
-    """`_taps` in rows layout: from (B·MG, L·P, q_pad) location/attention
-    rows to parity-routed packed entries (B·MG, L·P·4, q_pad) — all
-    elementwise in place (no q-major materialization or transpose).
-
-    Entry order matches `_taps`: per point (e_top, o_top, e_bot, o_bot),
-    class = k & 1. Indices are f32 (integer-exact below 2²³) with the
-    unclipped convention; weights carry the validity masks.
-    Differentiable wrt lx/ly/at (indices use stop_gradient)."""
-    BMG, LP, q_pad = lx.shape
-    L = len(spatial_shapes)
-    P = LP // L
-    idxs, wts = [], []
-    for lvl, (h, w) in enumerate(spatial_shapes):
-        hf, wf = float(h), float(w)
-        x = lx[:, lvl * P:(lvl + 1) * P].astype(jnp.float32) * wf - 0.5
-        y = ly[:, lvl * P:(lvl + 1) * P].astype(jnp.float32) * hf - 0.5
-        a = at[:, lvl * P:(lvl + 1) * P].astype(jnp.float32)
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        dx = x - jax.lax.stop_gradient(x0)
-        dy = y - jax.lax.stop_gradient(y0)
-        x0 = jax.lax.stop_gradient(x0)
-        y0 = jax.lax.stop_gradient(y0)
-        one = jnp.float32(1.0)
-        vx0 = (x0 >= 0) & (x0 <= wf - 1)
-        vx1 = (x0 >= -1) & (x0 <= wf - 2)
-        lvl_idx, lvl_wt = [], []
-        for y_row, wy in ((y0, (1 - dy)), (y0 + 1, dy)):
-            vy = (y_row >= 0) & (y_row <= hf - 1)
-            wl = wy * (1 - dx) * a * jnp.where(vy & vx0, one, 0.0)
-            wr = wy * dx * a * jnp.where(vy & vx1, one, 0.0)
-            base = y_row * wf + x0
-            m_l = jnp.floor(base * 0.5)
-            m_r = jnp.floor((base + 1) * 0.5)
-            even = (base - 2.0 * m_l) == 0
-            lvl_idx += [jnp.where(even, m_l, m_r), jnp.where(even, m_r, m_l)]
-            lvl_wt += [jnp.where(even, wl, wr), jnp.where(even, wr, wl)]
-        # (BMG, P, 4, q_pad) → (BMG, P·4, q_pad), row-major (p, entry)
-        idxs.append(jnp.stack(lvl_idx, axis=2).reshape(BMG, P * 4, q_pad))
-        wts.append(jnp.stack(lvl_wt, axis=2).reshape(BMG, P * 4, q_pad))
-    return jnp.concatenate(idxs, axis=1), jnp.concatenate(wts, axis=1)
-
-
-def _rows_tile_ranges(idx, wt, L: int, q_tile: int, s_tile: int):
-    """Tile-aligned [start, count] per (bm, q-tile, level) from rows-form
-    packed entries — the backward kernel's range contract."""
-    BMG, LK, q_pad = idx.shape
-    K = LK // L
-    nqt = q_pad // q_tile
-    idx_r = idx.reshape(BMG, L, K, nqt, q_tile)
-    live = wt.reshape(BMG, L, K, nqt, q_tile) != 0.0
-    big = jnp.float32(1 << 30)
-    lo = jnp.min(jnp.where(live, idx_r, big), axis=(2, 4))   # (BMG, L, nqt)
-    hi = jnp.max(jnp.where(live, idx_r, -1.0), axis=(2, 4))
-    lo = jnp.transpose(lo, (0, 2, 1)).astype(jnp.int32)      # (BMG, nqt, L)
-    hi = jnp.transpose(hi, (0, 2, 1)).astype(jnp.int32)
-    start = jnp.where(hi >= 0, lo // s_tile, 0)
-    count = jnp.where(hi >= 0, hi // s_tile + 1 - lo // s_tile, 0)
-    return jnp.stack([start, count], axis=-1)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6))
 def ms_deform_attn_rows(value, spatial_shapes: Shapes, lx, ly, at,
                         n_queries: int, q_tile: int = 0):
@@ -735,28 +1074,26 @@ def _rows_fwd_fwd(value, spatial_shapes, lx, ly, at, n_queries, q_tile=0):
 
 
 def _rows_bwd_core(spatial_shapes, n_queries, q_tile, value, lx, ly, at, g):
-    """Shared single-frame rows backward (grad_value + row grads in f32)."""
+    """Shared single-frame rows backward: in-kernel taps + in-kernel bilinear
+    chain rule (`_bwd_call_rows`) — consumes the same raw f32 rows as the
+    forward, no materialized idx/wt operands and no XLA `_taps_rows` VJP."""
     B, S, M, D = value.shape
     BMG, LP, q_pad = lx.shape
     MG = BMG // B
     groups = MG // M
     q_tile = q_tile or (128 if q_pad <= 128 else Q_TILE)
-    L = len(spatial_shapes)
-    idx, wt = _taps_rows(spatial_shapes, lx, ly, at)
-    ranges = _rows_tile_ranges(idx, wt, L, q_tile, S_TILE)
     value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
     value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
     g_bm = jnp.transpose(g.reshape(B, n_queries, MG, D), (0, 2, 1, 3)) \
         .reshape(BMG, n_queries, D)
     g_bm = jnp.pad(g_bm, ((0, 0), (0, q_pad - n_queries), (0, 0))) \
         .astype(value_e.dtype)
-    gve, gvo, gwt = _bwd_call(spatial_shapes, value_e, value_o, idx, wt,
-                              ranges, g_bm, q_tile, S_TILE, groups)
+    gve, gvo, glx, gly, gat = _bwd_call_rows(
+        spatial_shapes, value_e, value_o, lx.astype(jnp.float32),
+        ly.astype(jnp.float32), at.astype(jnp.float32), g_bm, q_tile,
+        S_TILE, groups)
     gval = _unpack_levels(gve, gvo, spatial_shapes, S_TILE)
     gval = gval.reshape(B, M, S, D).transpose(0, 2, 1, 3)
-    _, vjp = jax.vjp(lambda a, b, c: _taps_rows(spatial_shapes, a, b, c)[1],
-                     lx, ly, at)
-    glx, gly, gat = vjp(gwt.astype(jnp.float32))
     return gval, glx, gly, gat
 
 
@@ -985,41 +1322,37 @@ def _temporal_fwd_fwd(value, spatial_shapes, lx, ly, at, n_queries,
 
 def _temporal_bwd_core(spatial_shapes, n_queries, rule, q_tile, value,
                        lx, ly, at, g):
-    """Shared temporal backward: materialize the stacked value (backward
-    only — training pays the gather once), run `_bwd_call` over the fused
-    level stack, then fold the per-slot value grads back onto the frames
-    with a tiny one-hot einsum (exact: the op is linear in the value and
-    each slot reads one whole frame). Returns (gval, glx, gly, gat)."""
+    """Shared temporal backward: in-kernel taps + in-kernel bilinear chain
+    rule over per-frame packed values (`_bwd_call_rows_temporal`) — no
+    F×-stacked value materialization and no idx/wt operands; per-slot value
+    grads are folded back onto the frames with a tiny one-hot einsum
+    (exact: the op is linear in the value and each slot reads one whole
+    frame). Returns (gval, glx, gly, gat)."""
     T, S, M, D = value.shape
     LP, q_pad = lx.shape[1], lx.shape[2]
     F = 1 + _rule_window(rule, T)
     q_tile = q_tile or (128 if q_pad <= 128 else Q_TILE)
-    fused_shapes = _temporal_fused_shapes(spatial_shapes, F)
-    Lf = len(fused_shapes)
     table = _temporal_frame_table(rule, T)                   # (T, W)
     slots = np.concatenate([np.arange(T)[:, None], table], axis=1)  # (T, F)
 
-    stacked = value[jnp.asarray(slots)]                      # (T, F, S, M, D)
-    stacked = stacked.reshape(T, F * S, M, D)
-    idx, wt = _taps_rows(fused_shapes, lx, ly, at)
-    ranges = _rows_tile_ranges(idx, wt, Lf, q_tile, S_TILE)
-    value_bm = jnp.transpose(stacked, (0, 2, 1, 3)).reshape(T * M, F * S, D)
-    value_e, value_o = _pack_levels(value_bm, fused_shapes, S_TILE)
+    value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(T * M, S, D)
+    value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
     g_bm = jnp.transpose(g.reshape(T, n_queries, M, D), (0, 2, 1, 3)) \
         .reshape(T * M, n_queries, D)
     g_bm = jnp.pad(g_bm, ((0, 0), (0, q_pad - n_queries), (0, 0))) \
         .astype(value_e.dtype)
-    gve, gvo, gwt = _bwd_call(fused_shapes, value_e, value_o, idx, wt,
-                              ranges, g_bm, q_tile, S_TILE, 1)
-    gstack = _unpack_levels(gve, gvo, fused_shapes, S_TILE)
-    gstack = gstack.reshape(T, M, F, S, D)
-    onehot = jnp.asarray(slots[:, :, None] == np.arange(T)[None, None, :],
-                         jnp.float32)                        # (T, F, T)
-    gval = jnp.einsum("tjf,tmjsd->fsmd", onehot,
-                      gstack.astype(jnp.float32))
-    _, vjp = jax.vjp(lambda a, b, c: _taps_rows(fused_shapes, a, b, c)[1],
-                     lx, ly, at)
-    glx, gly, gat = vjp(gwt.astype(jnp.float32))
+    outs = _bwd_call_rows_temporal(
+        tuple(spatial_shapes), value_e, value_o, lx.astype(jnp.float32),
+        ly.astype(jnp.float32), at.astype(jnp.float32), g_bm, q_tile,
+        S_TILE, T, rule)
+    glx, gly, gat = outs[2 * F:]
+    gslot = jnp.stack([
+        _unpack_levels(outs[j], outs[F + j], spatial_shapes, S_TILE)
+        for j in range(F)])                                  # (F, T·M, S, D)
+    gslot = gslot.reshape(F, T, M, S, D)
+    onehot = jnp.asarray(slots.T[:, :, None] == np.arange(T)[None, None, :],
+                         jnp.float32)                        # (F, T, T)
+    gval = jnp.einsum("jtf,jtmsd->fsmd", onehot, gslot)
     return gval, glx, gly, gat
 
 

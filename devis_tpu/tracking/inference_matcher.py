@@ -90,6 +90,10 @@ class HungarianInferenceMatcher:
         ious = np.zeros((len(tracks1), len(tracks2)))
         m1 = [tr.get_last_results(self.overlap_w, "masks") for tr in tracks1]
         m2 = [tr.get_first_results(self.overlap_w, "masks") for tr in tracks2]
+        if not self.use_binary_mask_iou:
+            batched = self._soft_track_iou_batch(m1, m2)
+            if batched is not None:
+                return batched
         id1 = [tr.get_mask_id() for tr in tracks1]
         id2 = [tr.get_mask_id() for tr in tracks2]
         fn = self._binary_track_iou if self.use_binary_mask_iou else self._soft_track_iou
@@ -101,6 +105,28 @@ class HungarianInferenceMatcher:
                     cache[key] = fn(m1[i], m2[j])
                 ious[i, j] = cache[key]
         return ious
+
+    @staticmethod
+    def _soft_track_iou_batch(m1: List, m2: List):
+        """All-pairs volumetric soft IoU in one BLAS matmul: per track flatten
+        the overlap-window prob masks to a vector f; inter[i,j] = f1_i·f2_j
+        and union = Σf1_i + Σf2_j − inter (identical math to `soft_iou`).
+        Returns None when any mask is not a uniform-shape prob array (e.g.
+        already RLE-frozen) — callers fall back to the pairwise route."""
+        try:
+            F1 = np.stack([np.concatenate(
+                [np.asarray(m, np.float32).ravel() for m in ms])
+                for ms in m1])
+            F2 = np.stack([np.concatenate(
+                [np.asarray(m, np.float32).ravel() for m in ms])
+                for ms in m2])
+        except (ValueError, TypeError):
+            return None
+        if F1.shape[1] != F2.shape[1]:
+            return None
+        inter = F1 @ F2.T
+        union = F1.sum(1)[:, None] + F2.sum(1)[None, :] - inter
+        return (inter / np.maximum(union, 1e-6)).astype(np.float64)
 
     def compute_frame_average_iou_cost(self, tracks1: List, tracks2: List) -> np.ndarray:
         per_t = []

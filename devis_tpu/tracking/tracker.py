@@ -87,20 +87,46 @@ class Tracker:
         cats_dict: Dict[int, List[int]] = {}
         num_clips = len(video)
 
-        # Pipeline device and host: clip i+1's forward is dispatched on a
-        # background thread while the host stitches clip i (the TPU runs
-        # asynchronously under the dispatch), hiding host RLE/matching time
+        # Pipeline loader, device, and host: clip i+2's frames load on a
+        # loader thread and clip i+1's forward is dispatched on a device
+        # thread while the host stitches clip i (the TPU runs asynchronously
+        # under the dispatch), hiding data loading and host RLE/matching time
         # behind device time (SURVEY.md §7 hard part 4; the reference runs
-        # these serially, tracker.py:296-462).
+        # these serially and prefetches only via DataLoader workers,
+        # tracker.py:296-462).
         from concurrent.futures import ThreadPoolExecutor
         pool = ThreadPoolExecutor(max_workers=1)
-        pending = pool.submit(self.infer_fn, video, 0)
+        staged = hasattr(self.infer_fn, "prepare") and hasattr(self.infer_fn,
+                                                               "run")
+        if staged:
+            load_pool = ThreadPoolExecutor(max_workers=1)
+            preps: Dict[int, object] = {}
+
+            def ensure_prep(i):
+                if i not in preps and i < num_clips:
+                    preps[i] = load_pool.submit(self.infer_fn.prepare,
+                                                video, i)
+
+            def submit(i):
+                ensure_prep(i)
+                fut = preps.pop(i)
+                return pool.submit(lambda: self.infer_fn.run(fut.result()))
+
+            ensure_prep(0)
+            ensure_prep(1)
+            pending = submit(0)
+        else:
+            pending = pool.submit(self.infer_fn, video, 0)
 
         for clip_idx in range(num_clips):
             t0 = time.time()
             results = pending.result()
             if clip_idx + 1 < num_clips:
-                pending = pool.submit(self.infer_fn, video, clip_idx + 1)
+                if staged:
+                    ensure_prep(clip_idx + 2)
+                    pending = submit(clip_idx + 1)
+                else:
+                    pending = pool.submit(self.infer_fn, video, clip_idx + 1)
             times.append(time.time() - t0)
 
             scores = results["scores"][:clip_length]
@@ -161,6 +187,8 @@ class Tracker:
             times.append(time.time() - t1)
 
         pool.shutdown(wait=False)
+        if staged:
+            load_pool.shutdown(wait=False)
         if all_times is not None:
             all_times.append(sum(times))
 

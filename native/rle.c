@@ -21,7 +21,21 @@ long rle_encode(const uint8_t *mask, long n, long *counts, long max_counts) {
     long n_counts = 0;
     uint8_t cur = 0;           /* runs start with zeros */
     long run = 0;
-    for (long i = 0; i < n; ++i) {
+    long i = 0;
+    while (i < n) {
+        /* word-at-a-time fast path: extend the current run by 8 while the
+         * next 8 bytes are uniformly equal to it (masks are blobs — long
+         * runs dominate) */
+        if (i + 8 <= n) {
+            uint64_t w;
+            __builtin_memcpy(&w, mask + i, 8);
+            uint64_t want = cur ? 0x0101010101010101ULL : 0ULL;
+            if (w == want) {
+                run += 8;
+                i += 8;
+                continue;
+            }
+        }
         uint8_t v = mask[i] != 0;
         if (v == cur) {
             ++run;
@@ -31,6 +45,7 @@ long rle_encode(const uint8_t *mask, long n, long *counts, long max_counts) {
             cur = v;
             run = 1;
         }
+        ++i;
     }
     if (n_counts >= max_counts) return -1;
     counts[n_counts++] = run;
@@ -103,4 +118,52 @@ void rle_iou_matrix(const long *dt_counts, const long *dt_off,
             out[i * n_gt + j] = uni > 0 ? (double)inter / (double)uni : 0.0;
         }
     }
+}
+
+/* pycocotools rleToString: LEB128-ish base-48 char encoding with the
+ * difference trick (counts[i] -= counts[i-2] for i > 2). Returns the number
+ * of chars written, or -1 if the output buffer is too small. Each count
+ * needs at most 13 chars (64-bit), so size out for 13*n_counts. */
+long rle_counts_to_string(const long *counts, long n_counts, char *out,
+                          long max_out) {
+    long p = 0;
+    for (long i = 0; i < n_counts; ++i) {
+        long x = counts[i];
+        if (i > 2) x -= counts[i - 2];
+        int more = 1;
+        while (more) {
+            long ch = x & 0x1F;
+            x >>= 5;
+            more = (ch & 0x10) ? (x != -1) : (x != 0);
+            if (more) ch |= 0x20;
+            if (p >= max_out) return -1;
+            out[p++] = (char)(ch + 48);
+        }
+    }
+    return p;
+}
+
+/* pycocotools rleFrString inverse. Returns the number of counts written,
+ * or -1 on overflow of max_counts. */
+long rle_string_to_counts(const char *s, long n, long *counts,
+                          long max_counts) {
+    long p = 0, m = 0;
+    while (p < n) {
+        long x = 0;
+        int k = 0, more = 1;
+        long ch = 0;
+        while (more) {
+            if (p >= n) return -1;
+            ch = (long)s[p] - 48;
+            x |= (ch & 0x1F) << (5 * k);
+            more = (int)(ch & 0x20);
+            ++p;
+            ++k;
+        }
+        if (!more && (ch & 0x10)) x |= -1L << (5 * k);
+        if (m > 2) x += counts[m - 2];
+        if (m >= max_counts) return -1;
+        counts[m++] = x;
+    }
+    return m;
 }

@@ -128,6 +128,24 @@ class TestTracker:
             union = np.logical_or(dec, expected).sum()
             assert inter / union > 0.95, f"frame {f} iou {inter/union}"
 
+    def test_soft_iou_batch_matches_pairwise(self):
+        """The one-matmul all-pairs soft IoU must equal the per-pair route."""
+        rs = np.random.RandomState(3)
+        m1 = [[rs.rand(12, 16).astype(np.float32) for _ in range(2)]
+              for _ in range(3)]
+        m2 = [[rs.rand(12, 16).astype(np.float32) for _ in range(2)]
+              for _ in range(4)]
+        batched = HungarianInferenceMatcher._soft_track_iou_batch(m1, m2)
+        assert batched is not None and batched.shape == (3, 4)
+        for i in range(3):
+            for j in range(4):
+                want = HungarianInferenceMatcher._soft_track_iou(m1[i], m2[j])
+                np.testing.assert_allclose(batched[i, j], want, rtol=1e-5)
+        # RLE-frozen masks (dicts) must fall back to the pairwise route
+        frozen = [[rle_lib.encode(m > 0.5) for m in ms] for ms in m1]
+        assert HungarianInferenceMatcher._soft_track_iou_batch(
+            frozen, m2) is None
+
     def test_low_score_track_filtered(self):
         video = _FakeVideo()
 
