@@ -249,6 +249,9 @@ _C.TEST.EVAL_PERIOD = 1
 _C.TEST.START_EVAL_EPOCH = 1
 _C.TEST.SAVE_PATH = "eval_results"
 _C.TEST.NUM_OUT = 100
+_C.TEST.EVAL_BATCH_SIZE = 1     # images per forward in evaluate_coco (canvas-
+                                # bucket grouped; >1 amortizes dispatch + span
+                                # floors; TPU-only knob, no reference analogue)
 _C.TEST.USE_TOP_K = True
 _C.TEST.CLIP_TRACKING = CfgNode()
 _C.TEST.CLIP_TRACKING.STRIDE = 4

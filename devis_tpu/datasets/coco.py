@@ -64,6 +64,16 @@ class CocoDetection:
     def __len__(self):
         return len(self.ids)
 
+    def eval_hw(self, idx: int) -> Tuple[int, int]:
+        """Post-resize (h, w) of val image `idx` WITHOUT decoding it (from the
+        annotation metadata) — lets the eval loop group images into canvas
+        buckets for batched forwards."""
+        assert not self.train
+        info = self.imgs[self.ids[idx]]
+        return get_size_with_aspect_ratio((info["height"], info["width"]),
+                                          self.min_size_test,
+                                          self.max_size_test)
+
     def gt_dict(self) -> Dict:
         """The full COCO annotation dict (for the evaluator)."""
         return self.coco

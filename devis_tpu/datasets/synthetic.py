@@ -236,6 +236,10 @@ class SyntheticCocoDataset:
                 "valid": np.asarray([m.sum() > 2 for m in masks]),
                 "image_id": idx, "orig_size": self.size}
 
+    def eval_hw(self, idx: int):
+        """Post-resize (h, w) (images are generated at their final size)."""
+        return self.size
+
     def gt_dict(self) -> Dict:
         """COCO-style annotation dict for the evaluator."""
         h, w = self.size

@@ -279,86 +279,116 @@ def evaluate_coco(model, variables, dataset, cfg, verbose: bool = True,
     my_images = [(rank + k * n_proc) % n_images for k in range(per_proc)] \
         if n_images else []
 
-    def _prep(idx):
-        """Host stage: decode + canvas-pad one image (loader thread)."""
-        sample = dataset[idx]
-        img = sample["image"]
-        h, w = img.shape[:2]
-        Hc, Wc = pick_canvas(h, w, buckets)
-        images = np.zeros((1, Hc, Wc, 3), np.float32)
-        pad_mask = np.ones((1, Hc, Wc), bool)
-        images[0, :h, :w] = img
-        pad_mask[0, :h, :w] = False
-        return sample, images, pad_mask, (h, w), (Hc, Wc)
+    # Canvas-bucket batching (TEST.EVAL_BATCH_SIZE): images whose post-resize
+    # size lands on the same canvas run as ONE static-shape forward of B
+    # images (the tail chunk pads by repeating its first image and drops the
+    # extra outputs). Requires the dataset's cheap `eval_hw` size accessor;
+    # without it every image is its own chunk (the reference evaluates B=1,
+    # engine.py:98-203).
+    B = max(1, int(getattr(cfg.TEST, "EVAL_BATCH_SIZE", 1)))
+    if B > 1 and hasattr(dataset, "eval_hw"):
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for idx in my_images:
+            h, w = dataset.eval_hw(idx)
+            groups.setdefault(pick_canvas(h, w, buckets), []).append(idx)
+        chunks = [grp[k:k + B]
+                  for grp in groups.values() for k in range(0, len(grp), B)]
+    else:
+        B = 1
+        chunks = [[idx] for idx in my_images]
 
-    def _postprocess(sample, out_dev, hw, canvas):
-        """Host stage: fetch + convert one image's predictions."""
-        h, w = hw
+    def _prep(chunk):
+        """Host stage: decode + canvas-pad one chunk (loader thread)."""
+        samples = [dataset[idx] for idx in chunk]
+        hws = [s["image"].shape[:2] for s in samples]
+        Hc, Wc = pick_canvas(max(h for h, _ in hws), max(w for _, w in hws),
+                             buckets)
+        images = np.zeros((B, Hc, Wc, 3), np.float32)
+        pad_mask = np.ones((B, Hc, Wc), bool)
+        for b, (s, (h, w)) in enumerate(zip(samples, hws)):
+            images[b, :h, :w] = s["image"]
+            pad_mask[b, :h, :w] = False
+        for b in range(len(samples), B):                   # tail padding
+            images[b] = images[0]
+            pad_mask[b] = pad_mask[0]
+        return samples, images, pad_mask, hws, (Hc, Wc)
+
+    def _postprocess(samples, out_dev, hws, canvas):
+        """Host stage: fetch + convert one chunk's predictions."""
         Hc, Wc = canvas
         tk = jax.device_get(out_dev["top_k"])
-        oh, ow = sample["orig_size"]
-        # image-normalized cxcywh → absolute xyxy in the original image
-        b = tk["boxes"][0]
-        cx, cy, bw, bh = b[:, 0] * ow, b[:, 1] * oh, b[:, 2] * ow, b[:, 3] * oh
-        boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1)
-        boxes[:, 0::2] = boxes[:, 0::2].clip(0, ow)
-        boxes[:, 1::2] = boxes[:, 1::2].clip(0, oh)
-        res = {"scores": tk["scores"][0],
-               "labels": tk["labels"][0] + 1,           # back to COCO ids
-               "boxes": boxes}
-        if mask_on and "masks" in tk:
-            # Reference DefDETRSegmPostProcess semantics
-            # (deformable_segmentation.py:431-458): bilinear-upsample the
-            # logits to the padded canvas, threshold at 0.5, crop the valid
-            # region, nearest-resize to the original size.
-            import cv2
-            masks = []
-            for m in tk["masks"][0]:
-                up = cv2.resize(m.astype(np.float32), (Wc, Hc),
-                                interpolation=cv2.INTER_LINEAR)
-                binm = (up > 0)[:h, :w]                  # logit > 0 ⇔ p > 0.5
-                mm = cv2.resize(binm.astype(np.uint8), (ow, oh),
-                                interpolation=cv2.INTER_NEAREST)
-                masks.append(mm > 0)
-            res["masks"] = masks
-        evaluator.update({int(sample["image_id"]): res})
+        for b, (sample, (h, w)) in enumerate(zip(samples, hws)):
+            oh, ow = sample["orig_size"]
+            # image-normalized cxcywh → absolute xyxy in the original image
+            bx = tk["boxes"][b]
+            cx, cy = bx[:, 0] * ow, bx[:, 1] * oh
+            bw, bh = bx[:, 2] * ow, bx[:, 3] * oh
+            boxes = np.stack([cx - bw / 2, cy - bh / 2,
+                              cx + bw / 2, cy + bh / 2], 1)
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, ow)
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, oh)
+            res = {"scores": tk["scores"][b],
+                   "labels": tk["labels"][b] + 1,        # back to COCO ids
+                   "boxes": boxes}
+            if mask_on and "masks" in tk:
+                # Reference DefDETRSegmPostProcess semantics
+                # (deformable_segmentation.py:431-458): bilinear-upsample the
+                # logits to the padded canvas, threshold at 0.5, crop the
+                # valid region, nearest-resize to the original size.
+                import cv2
+                masks = []
+                for m in tk["masks"][b]:
+                    up = cv2.resize(m.astype(np.float32), (Wc, Hc),
+                                    interpolation=cv2.INTER_LINEAR)
+                    binm = (up > 0)[:h, :w]          # logit > 0 ⇔ p > 0.5
+                    mm = cv2.resize(binm.astype(np.uint8), (ow, oh),
+                                    interpolation=cv2.INTER_NEAREST)
+                    masks.append(mm > 0)
+                res["masks"] = masks
+            evaluator.update({int(sample["image_id"]): res})
 
-    # Pipeline loader / device / host (mirrors the VIS tracker): image j+2
-    # decodes on a loader thread, image j+1's forward is dispatched (XLA runs
-    # it asynchronously), and image j's predictions are postprocessed on the
+    # Pipeline loader / device / host (mirrors the VIS tracker): chunk j+2
+    # decodes on a loader thread, chunk j+1's forward is dispatched (XLA runs
+    # it asynchronously), and chunk j's predictions are postprocessed on the
     # host — the reference loop is fully serial (engine.py:98-203).
     from concurrent.futures import ThreadPoolExecutor
     loader = ThreadPoolExecutor(max_workers=1)
     preps: Dict[int, object] = {}
 
     def ensure_prep(k):
-        if k not in preps and k < len(my_images):
-            preps[k] = loader.submit(_prep, my_images[k])
+        if k not in preps and k < len(chunks):
+            preps[k] = loader.submit(_prep, chunks[k])
 
     ensure_prep(0)
     ensure_prep(1)
     pending = None
-    for j in range(len(my_images)):
-        sample, images, pad_mask, hw, canvas = preps.pop(j).result()
+    done = 0
+    for j in range(len(chunks)):
+        samples, images, pad_mask, hws, canvas = preps.pop(j).result()
         ensure_prep(j + 2)
         out_dev = fwd(variables, jnp.asarray(images), jnp.asarray(pad_mask))
-        if loss_fn is not None and len(sample.get("labels", ())):
-            # slot capacity can't exceed assignable queries (cf. main.py:190)
-            batch = collate_images([sample], canvas,
-                                   max_instances=min(cfg.TPU.MAX_INSTANCES,
-                                                     cfg.MODEL.NUM_QUERIES))
-            losses = jax.device_get(loss_fn(
-                variables, jnp.asarray(batch["images"]),
-                jnp.asarray(batch["pad_mask"]),
-                jax.tree.map(jnp.asarray, batch["targets"])))
-            for k, val in losses.items():
-                loss_sums[k] = loss_sums.get(k, 0.0) + float(val)
-            loss_count += 1
+        if loss_fn is not None:
+            for sample in samples:
+                if not len(sample.get("labels", ())):
+                    continue
+                # slot capacity can't exceed assignable queries (main.py:190)
+                batch = collate_images([sample], canvas,
+                                       max_instances=min(
+                                           cfg.TPU.MAX_INSTANCES,
+                                           cfg.MODEL.NUM_QUERIES))
+                losses = jax.device_get(loss_fn(
+                    variables, jnp.asarray(batch["images"]),
+                    jnp.asarray(batch["pad_mask"]),
+                    jax.tree.map(jnp.asarray, batch["targets"])))
+                for k, val in losses.items():
+                    loss_sums[k] = loss_sums.get(k, 0.0) + float(val)
+                loss_count += 1
         if pending is not None:
             _postprocess(*pending)
-        pending = (sample, out_dev, hw, canvas)
+        pending = (samples, out_dev, hws, canvas)
+        done += len(samples)
         if verbose and (j + 1) % 50 == 0:
-            print(f"eval {j + 1}/{len(my_images)}", flush=True)
+            print(f"eval {done}/{len(my_images)}", flush=True)
     if pending is not None:
         _postprocess(*pending)
     loader.shutdown(wait=False)

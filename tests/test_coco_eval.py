@@ -189,6 +189,25 @@ class TestEvaluateCocoLoop:
         assert ids0 & ids1, "padded shard must overlap for dedup coverage"
         assert "AP" in s1["bbox"]
 
+    @pytest.mark.slow
+    def test_bucket_batched_matches_serial(self):
+        """TEST.EVAL_BATCH_SIZE>1 groups same-canvas images into one static
+        forward (tail chunk padded); predictions must match B=1 exactly."""
+        from devis_tpu.inference import evaluate_coco as eval_loop
+
+        cfg, ds, model, variables = self._setup()
+        s1 = eval_loop(model, variables, ds, cfg, verbose=False)
+
+        cfg2 = cfg.clone()
+        cfg2.defrost()
+        cfg2.TEST.EVAL_BATCH_SIZE = 2       # 3 images -> chunks of 2 + 1(pad)
+        cfg2.freeze()
+        s2 = eval_loop(model, variables, ds, cfg2, verbose=False)
+        for iou_type in ("bbox", "segm"):
+            for k, v in s1[iou_type].items():
+                np.testing.assert_allclose(s2[iou_type][k], v, atol=1e-6,
+                                           err_msg=f"{iou_type}/{k}")
+
     def test_merge_rank_predictions_dedup(self):
         from devis_tpu.inference import merge_rank_predictions
         a = [{"image_id": 1, "score": 0.9}, {"image_id": 2, "score": 0.8}]
