@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite is compile-bound on a 1-CPU box
+# (~14 min cold); cached re-runs skip XLA compiles entirely, keeping the
+# iteration loop fast. Keys are HLO content hashes — safe across edits.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

@@ -44,7 +44,7 @@ def test_inference_vis_end_to_end():
     variables = model.init(jax.random.PRNGKey(0), imgs, mask, train=False)
 
     dataset = SyntheticVISValDataset(
-        num_frames=T, stride=cfg.TEST.CLIP_TRACKING.STRIDE, n_videos=2,
+        num_frames=T, stride=cfg.TEST.CLIP_TRACKING.STRIDE, n_videos=1,
         video_len=7, size=(48, 64), min_size=cfg.INPUT.MIN_SIZE_TEST,
         max_size=cfg.INPUT.MAX_SIZE_TEST)
     # raw-uint8 clips: normalization must happen on device

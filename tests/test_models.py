@@ -141,6 +141,7 @@ class TestDeVISModel:
         assert results["mask_gather"].shape == (5,)
         assert bool(jnp.isfinite(results["masks"]).all())
 
+    @pytest.mark.slow
     def test_ablation_no_temporal(self, rng_np):
         cfg = _small_cfg(vis=True)
         cfg.MODEL.DEVIS.DEFORMABLE_ATTENTION.DISABLE_TEMPORAL_CONNECTIONS = True

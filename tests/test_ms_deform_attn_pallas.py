@@ -92,6 +92,7 @@ class TestGroupedHeads:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-6, atol=1e-7)
 
+    @pytest.mark.slow
     def test_grouped_grads(self, rng):
         B, Q, G, D, P = 1, 20, 2, 32, 2
         L = len(SHAPES)
@@ -130,6 +131,7 @@ class TestGradients:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
 
+    @pytest.mark.slow
     def test_grad_value_deterministic(self, rng):
         """grad_value is a Wᵀ@g matmul, not an atomicAdd scatter (unlike the
         reference CUDA backward) — repeated runs must be bitwise equal."""
@@ -205,6 +207,7 @@ class TestRowsForm:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-6, atol=1e-7)
 
+    @pytest.mark.slow
     def test_grads_match_loc_form(self, rng):
         from devis_tpu.ops.ms_deform_attn_pallas import ms_deform_attn_rows
         value, loc, att = _inputs(rng, B=1, Q=40)
@@ -332,6 +335,7 @@ class TestTemporalOp:
         np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_s),
                                    rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_grads_match_stacked(self, rng):
         from devis_tpu.ops.ms_deform_attn_pallas import (
             ms_deform_attn_rows, ms_deform_attn_rows_temporal)
@@ -464,6 +468,7 @@ class TestProjOp:
                                        rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_msdeformattn_proj_matches_xla(rng):
     """MSDeformAttn's projection-fused path (2-dim refs) vs the q-major XLA
     path with shared params, forward and grads."""
@@ -489,6 +494,7 @@ def test_msdeformattn_proj_matches_xla(rng):
         np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4), g_p, g_x)
 
 
+@pytest.mark.slow
 def test_encoder_stacked_fallback_matches_xla(rng, monkeypatch):
     """Pyramids that exceed the VMEM level-group budget must route through
     `_fused_rows_stacked` and still match the q-major XLA path."""

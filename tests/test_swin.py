@@ -89,6 +89,7 @@ class TestDropPathAndCheckpoint:
                                num_heads=(1, 2, 2, 2), window=4,
                                num_channels=(8, 16, 32, 64), **kw)
 
+    @pytest.mark.slow
     def test_eval_is_deterministic_and_droppath_free(self, rng):
         x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
         m0 = self._tiny(drop_path_rate=0.0)
@@ -163,6 +164,7 @@ class TestDropPathAndCheckpoint:
         # monotonic across stage boundaries
         assert np.all(np.diff(dpr) > 0)
 
+    @pytest.mark.slow
     def test_checkpoint_same_output_and_grads(self, rng):
         x = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
         m_plain = self._tiny(drop_path_rate=0.0, use_checkpoint=False)

@@ -45,6 +45,7 @@ def ref_swin():
         out_indices=(0, 1, 2, 3))
 
 
+@pytest.mark.slow
 def test_key_mapping_covers_reference_swin(ref_swin):
     """Every key our converter generates for the flax Swin must exist in the
     reference module's state dict (modulo attention-mask buffers, which are
@@ -68,6 +69,7 @@ def test_key_mapping_covers_reference_swin(ref_swin):
     assert not unused, f"reference keys unmapped: {sorted(unused)[:8]}"
 
 
+@pytest.mark.slow
 def test_weight_transplant_roundtrip(ref_swin):
     """Loading the reference Swin's state dict into the flax module must
     succeed strictly and reproduce the qkv weights."""
