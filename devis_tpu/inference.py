@@ -77,11 +77,25 @@ class VISInferFn:
                    | (jnp.arange(Wc)[None, :] >= hw[1]))
             pad = jnp.broadcast_to(pad[None], (T, Hc, Wc))
             _, res = model.apply(v, img, pad, train=False, clip_length=cl)
-            res = dict(res)
-            # mask logits dominate the device→host payload; f16 halves it
-            # (sigmoid downstream is insensitive at logit scale)
-            res["masks"] = res["masks"].astype(jnp.float16)
-            return res
+            # Every fetched leaf is a separate ~5 ms round trip through the
+            # device tunnel, so pack the small per-trajectory outputs into
+            # ONE f32 array: [boxes(4) | scores(1) | labels(1) | gather(1)]
+            # (center_points ≡ boxes[..., :2], recovered host-side; int
+            # channels are exact in f32 below 2^24). Mask logits stay their
+            # own leaf as f16 — they dominate the payload and sigmoid
+            # downstream is insensitive at logit scale.
+            T_, N = res["scores"].shape
+            small = jnp.concatenate([
+                res["boxes"].astype(jnp.float32),
+                res["scores"][..., None].astype(jnp.float32),
+                jnp.broadcast_to(res["labels"].astype(jnp.float32)[None, :,
+                                                                   None],
+                                 (T_, N, 1)),
+                jnp.broadcast_to(res["mask_gather"].astype(jnp.float32)[
+                    None, :, None], (T_, N, 1)),
+            ], axis=-1)
+            return {"small": small,
+                    "masks": res["masks"].astype(jnp.float16)}
 
         self._fwd_raw = jax.jit(functools.partial(_run, raw=True))
         self._fwd_norm = jax.jit(functools.partial(_run, raw=False))
@@ -112,9 +126,11 @@ class VISInferFn:
         st = self.mask_stride
         hv = max(1, round(h / st))
         wv = max(1, round(w / st))
-        return {"scores": res["scores"], "labels": res["labels"],
-                "boxes": res["boxes"], "center_points": res["center_points"],
-                "mask_logits": res["masks"], "mask_gather": res["mask_gather"],
+        small = res["small"]
+        return {"scores": small[..., 4], "labels": small[0, :, 5].astype(np.int32),
+                "boxes": small[..., :4], "center_points": small[..., :2],
+                "mask_logits": res["masks"],
+                "mask_gather": small[0, :, 6].astype(np.int32),
                 "valid_hw": (hv, wv)}
 
     def __call__(self, video, clip_idx: int) -> Dict[str, np.ndarray]:
