@@ -584,6 +584,11 @@ def _bwd_kernel_rows(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
         gve_ref[0] = jnp.zeros_like(gve_ref[0])
         gvo_ref[0] = jnp.zeros_like(gvo_ref[0])
 
+    # Per-level (P, Qt) row grads are collected and stored as ONE aligned
+    # full-block write after the loop: P=4-row stores at 4-row offsets are
+    # not sublane-tile aligned and Mosaic may reject them (reads of the same
+    # slices are relayout-handled; stores are stricter).
+    glx_rows, gly_rows, gat_rows = [], [], []
     for lvl, (h, w) in enumerate(spatial_shapes):
         lx = lx_ref[0, lvl * P:(lvl + 1) * P, :]
         ly = ly_ref[0, lvl * P:(lvl + 1) * P, :]
@@ -655,9 +660,13 @@ def _bwd_kernel_rows(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
         glx_lvl = at * ((1 - dy) * (gr_t - gl_t)
                         + dy * (gr_b - gl_b)) * np.float32(w)
         gly_lvl = at * (bot - top) * np.float32(h)
-        glx_ref[0, lvl * P:(lvl + 1) * P, :] = glx_lvl
-        gly_ref[0, lvl * P:(lvl + 1) * P, :] = gly_lvl
-        gat_ref[0, lvl * P:(lvl + 1) * P, :] = gat_lvl
+        glx_rows.append(glx_lvl)
+        gly_rows.append(gly_lvl)
+        gat_rows.append(gat_lvl)
+
+    glx_ref[0] = jnp.concatenate(glx_rows, axis=0)
+    gly_ref[0] = jnp.concatenate(gly_rows, axis=0)
+    gat_ref[0] = jnp.concatenate(gat_rows, axis=0)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9))
@@ -739,6 +748,9 @@ def _bwd_kernel_rows_temporal(ranges_ref, *refs, spatial_shapes,
             gve_refs[j][0] = jnp.zeros_like(gve_refs[j][0])
             gvo_refs[j][0] = jnp.zeros_like(gvo_refs[j][0])
 
+    # Collected per level, stored as one aligned full-block write (see
+    # `_bwd_kernel_rows`: 4-row-offset stores are not sublane-tile aligned).
+    glx_rows, gly_rows, gat_rows = [], [], []
     for lvl in range(F * L):
         ll = lvl % L
         h, w = spatial_shapes[ll]
@@ -815,9 +827,13 @@ def _bwd_kernel_rows_temporal(ranges_ref, *refs, spatial_shapes,
         glx_lvl = at * ((1 - dy) * (gr_t - gl_t)
                         + dy * (gr_b - gl_b)) * np.float32(w)
         gly_lvl = at * (bot - top) * np.float32(h)
-        glx_ref[0, lvl * P:(lvl + 1) * P, :] = glx_lvl
-        gly_ref[0, lvl * P:(lvl + 1) * P, :] = gly_lvl
-        gat_ref[0, lvl * P:(lvl + 1) * P, :] = gat_lvl
+        glx_rows.append(glx_lvl)
+        gly_rows.append(gly_lvl)
+        gat_rows.append(gat_lvl)
+
+    glx_ref[0] = jnp.concatenate(glx_rows, axis=0)
+    gly_ref[0] = jnp.concatenate(gly_rows, axis=0)
+    gat_ref[0] = jnp.concatenate(gat_rows, axis=0)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
