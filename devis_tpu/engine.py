@@ -219,15 +219,29 @@ def train_one_epoch(step_fn, state, data_loader, rng, epoch: int,
     """Host epoch loop (reference engine.py:25-95)."""
     logger = MetricLogger(print_freq=print_freq, debug=debug)
     header = f"Epoch: [{epoch}]"
+
+    def drain(metrics_dev):
+        host = {k: float(v) for k, v in
+                jax.device_get(metrics_dev).items() if jnp.ndim(v) == 0}
+        if host.get("finite", 1.0) < 1.0:
+            raise FloatingPointError(
+                f"Loss is not finite at epoch {epoch}: {host}")
+        logger.update(**host)
+
+    # Metrics are fetched one step late: step k+1 is dispatched (XLA runs it
+    # asynchronously) before step k's scalars cross the tunnel, so host
+    # batch prep overlaps device compute. The non-finite abort lags one step
+    # — step_fn already skipped the param update for the bad step, so the
+    # extra dispatched step runs on unchanged params and is discarded by the
+    # raise (reference aborts immediately, engine.py:68-71).
+    pending = None
     for batch in logger.log_every(data_loader, header=header):
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         state, metrics = step_fn(state, batch, rng)
-        host = {k: float(v) for k, v in
-                jax.device_get(metrics).items() if jnp.ndim(v) == 0}
-        if host.get("finite", 1.0) < 1.0:
-            raise FloatingPointError(
-                f"Loss is not finite at epoch {epoch}: {host}")
-        logger.update(**{k: v for k, v in host.items()
-                         if not k.startswith("class_error") or True})
+        if pending is not None:
+            drain(pending)
+        pending = metrics
+    if pending is not None:
+        drain(pending)
     return state, {k: m.global_avg for k, m in logger.meters.items()}
