@@ -276,25 +276,33 @@ def _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod, weight,
                        (margin, Wp - W - margin)))        # (B, Cin, H_tot, Wp)
     x_p = x4.reshape(B, Cin, (H_r + 2 * margin + 1) * Wp)
 
-    # Field convs as tap-wise einsums on the padded buffer (f32 accumulate,
-    # zero padding == the reference convention). Column reach caps the
-    # slice width at Wp − margin − 1 ≥ W + margin; the discarded pad-column
-    # tail is restored by one output pad.
+    # Field convs as ONE K×K conv on the padded buffer (f32 accumulate, zero
+    # padding == the reference convention). The earlier tap-wise einsum loop
+    # re-read the whole ~GB staged buffer once per tap (9× HBM traffic,
+    # measured 2 ms/tap at COCO mask-head shapes — the round-2 COCO
+    # regression); the conv reads it once. Column reach caps the output
+    # width at Wp − margin − 1 ≥ W + margin; the discarded pad-column tail
+    # is restored by one output pad.
     f32 = jnp.float32
     w27 = jnp.concatenate([w_off.reshape(KK, Cin, 2 * KK),
                            w_mod.reshape(KK, Cin, KK)],
                           axis=-1).astype(x.dtype)        # (KK, Cin, 3KK)
     Lc = Wp - margin - 1
     prec = ("highest" if x.dtype == jnp.float32 else None)
-    f27 = None
-    for t in range(KK):
-        ty, tx = t // K - padding, t % K - padding
-        xs = jax.lax.slice(
-            x4, (0, 0, margin + ty, margin + tx),
-            (B, Cin, margin + ty + H_r, margin + tx + Lc))
-        term = jnp.einsum("co,bchw->bohw", w27[t], xs,
-                          preferred_element_type=f32, precision=prec)
-        f27 = term if f27 is None else f27 + term        # (B, 3KK, H_r, Lc)
+    # tap t reads x4[…, margin+ty+h, margin+tx+w] (ty=t//K−padding,
+    # tx=t%K−padding) ⇔ VALID conv over the slice starting at margin−padding
+    # with OIHW weights W[o, c, ky, kx] = w27[ky·K+kx, c, o].
+    assert margin >= padding and margin - padding + Lc + K - 1 <= Wp, \
+        (margin, padding, Lc, K, Wp)
+    xs_all = jax.lax.slice(
+        x4, (0, 0, margin - padding, margin - padding),
+        (B, Cin, margin - padding + H_r + K - 1,
+         margin - padding + Lc + K - 1))
+    w_oihw = jnp.transpose(w27.reshape(K, K, Cin, 3 * KK), (3, 2, 0, 1))
+    f27 = jax.lax.conv_general_dilated(
+        xs_all, w_oihw, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=f32, precision=prec)       # (B, 3KK, H_r, Lc)
     b27 = jnp.concatenate([b_off, b_mod]).astype(f32)
     f27 = f27 + b27[None, :, None, None]
     off4 = f27[:, :2 * KK]
