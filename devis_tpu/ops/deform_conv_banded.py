@@ -70,29 +70,32 @@ def _round_up(x: int, mult: int) -> int:
 def _banded_kernel(base_ref, off_ref, mod_ref, w_ref, x_hbm, out_ref,
                    acc_ref, *xw, Cin: int, Cout: int, R: int, Wp: int,
                    margin: int, ncand: int, K: int, padding: int):
-    """One (instance, row-block) step: K² rebased window DMAs (started
-    upfront), per-position MXU premix, ncand² unconditional tent FMAs."""
+    """One (instance, row-block) step: ONE union-band window DMA shared by
+    all K² positions, per-position MXU premix over a 128-aligned dynamic
+    row-slice, ncand² unconditional tent FMAs.
+
+    The per-tap windows differ only by a row shift ky+by ∈ ±(max_base +
+    padding); staging each separately re-read the x buffer K²× from HBM
+    (measured ~2/3 of the kernel time at COCO mask-head shapes). The union
+    band is R + 2·(max_base+padding) + ncand + 1 rows — ~6× less traffic."""
     KK = K * K
-    x_refs, sems = xw[:KK], xw[KK:]
+    x_u, sem = xw
     b = pl.program_id(0)
     hb = pl.program_id(1)
     rows_win = R + ncand + 1   # +1 row: column-window overrun slack
     n_win = rows_win * Wp
+    max_base = margin - ncand - padding
+    shift = max_base + padding          # tap row offsets land in [0, 2·shift]
 
-    copies = []
     lo = (ncand - 1) // 2
-    for k in range(KK):
-        ky = k // K - padding
-        by = base_ref[0, 0, k, 0]
-        # window start row: out row hb·R, candidate j=0 ⇒ padded row
-        # hb·R + margin + ky + by − lo. Only the ROW rebase can ride the DMA
-        # (Mosaic requires 128-aligned lane offsets; row steps are ×Wp, a
-        # 128-multiple) — column offsets stay static, handled by the window.
-        start = (hb * R + margin + ky - lo + by) * Wp
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, :, pl.ds(start, n_win)], x_refs[k], sems[k])
-        cp.start()
-        copies.append(cp)
+    # union window start: the smallest per-tap start (ky=−padding,
+    # by=−max_base). Row steps are ×Wp (a 128-multiple) so the dynamic HBM
+    # offset stays lane-aligned for the DMA.
+    start_u = (hb * R + margin - shift - lo) * Wp
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(start_u, (R + 2 * shift + ncand + 1) * Wp)],
+        x_u, sem)
+    cp.start()
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     N = R * Wp
@@ -100,17 +103,21 @@ def _banded_kernel(base_ref, off_ref, mod_ref, w_ref, x_hbm, out_ref,
     # sublanes are slow, and rows arrive bf16 to halve HBM traffic
     off_f = off_ref[0].astype(jnp.float32)     # (2·KK, N)
     mod_f = mod_ref[0].astype(jnp.float32)     # (KK, N)
+    cp.wait()
     for k in range(KK):
-        copies[k].wait()
-        # premix: U_k = W_kᵀ @ x̃_k  (Cout, rows_win·Wp), MXU. True-f32
-        # multiplies on the f32 (parity/debug) path — TPU f32 dots default
-        # to bf16 passes; the bf16 inference path is unaffected.
+        ky = k // K - padding
+        by = base_ref[0, 0, k, 0]
+        rk = ky + by + shift                   # tap row inside the union band
+        # premix: U_k = W_kᵀ @ x̃_k  (Cout, rows_win·Wp), MXU, reading the
+        # tap's rows as a Wp-aligned dynamic slice of the union band.
+        # True-f32 multiplies on the f32 (parity/debug) path — TPU f32 dots
+        # default to bf16 passes; the bf16 inference path is unaffected.
         u = jax.lax.dot_general(
-            w_ref[k], x_refs[k][...],
+            w_ref[k], x_u[:, pl.ds(pl.multiple_of(rk * Wp, Wp), n_win)],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=(jax.lax.Precision.HIGHEST
-                       if x_refs[k].dtype == jnp.float32 else None))
+                       if x_u.dtype == jnp.float32 else None))
         byf = base_ref[0, 0, k, 0].astype(jnp.float32)
         dy = off_f[2 * k:2 * k + 1, :] - byf          # y residual offsets
         dx = off_f[2 * k + 1:2 * k + 2, :]            # x has no rebase
@@ -199,10 +206,10 @@ def _deform_conv2d_banded_impl(x, offset, mask, weight, bias, padding: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Cout, H_r * Wp), x.dtype),
         scratch_shapes=(
-            [pltpu.VMEM((Cout, R_lanes), jnp.float32)]
-            + [pltpu.VMEM((Cin, (R + ncand + 1) * Wp), x.dtype)
-               for _ in range(KK)]
-            + [pltpu.SemaphoreType.DMA for _ in range(KK)]
+            [pltpu.VMEM((Cout, R_lanes), jnp.float32),
+             pltpu.VMEM((Cin, (R + 2 * (max_base + padding) + ncand + 1)
+                         * Wp), x.dtype),
+             pltpu.SemaphoreType.DMA]
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -342,10 +349,10 @@ def _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod, weight,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Cout, H_r * Wp), x.dtype),
         scratch_shapes=(
-            [pltpu.VMEM((Cout, R_lanes), jnp.float32)]
-            + [pltpu.VMEM((Cin, (R + ncand + 1) * Wp), x.dtype)
-               for _ in range(KK)]
-            + [pltpu.SemaphoreType.DMA for _ in range(KK)]
+            [pltpu.VMEM((Cout, R_lanes), jnp.float32),
+             pltpu.VMEM((Cin, (R + 2 * (max_base + padding) + ncand + 1)
+                         * Wp), x.dtype),
+             pltpu.SemaphoreType.DMA]
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
