@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.deform_conv import deform_conv2d
-from ..ops.interpolate import resize_nearest
+from ..ops.interpolate import resize_nearest, resize_nearest_hw
 from . import matcher as matcher_lib
 from .detr import DeformableDETR, top_k_process
 
@@ -61,17 +61,25 @@ class ModulatedDeformableConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        from ..ops.deform_conv import conv2d_nhwc, modulated_deform_conv2d
+    def __call__(self, x, channel_first: bool = False):
+        from ..ops.deform_conv import (conv2d_nhwc, modulated_deform_conv2d,
+                                       modulated_deform_conv2d_cf)
         from ..ops.ms_deform_attn import resolve_impl
         K = self.kernel
-        Cin = x.shape[-1]
+        Cin = x.shape[1] if channel_first else x.shape[-1]
         w_off, b_off = _ConvParams(2 * K * K, K, Cin, name="offset_conv")()
         w_mod, b_mod = _ConvParams(K * K, K, Cin, name="modulator_conv")()
         weight = self.param("weight", nn.initializers.he_uniform(),
                             (K, K, Cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         dt = self.dtype
+        if channel_first:
+            # channel-first spine: always the fused banded route
+            # (interpret-mode on CPU), CF in and out.
+            return modulated_deform_conv2d_cf(
+                x, w_off.astype(dt), b_off.astype(dt), w_mod.astype(dt),
+                b_mod.astype(dt), weight.astype(x.dtype),
+                bias.astype(x.dtype), self.padding)
         if resolve_impl("auto") == "pallas":
             return modulated_deform_conv2d(
                 x, w_off.astype(dt), b_off.astype(dt), w_mod.astype(dt),
@@ -83,6 +91,32 @@ class ModulatedDeformableConv(nn.Module):
             conv2d_nhwc(x, w_mod.astype(dt), b_mod.astype(dt), self.padding))
         return deform_conv2d(x, offset, modulator, weight.astype(x.dtype),
                              bias.astype(x.dtype), padding=self.padding)
+
+
+class GroupNormCF(nn.Module):
+    """`nn.GroupNorm`-equivalent on channel-first (B, C, H, W) input.
+
+    The parameter tree (scale/bias of shape (C,)) matches `nn.GroupNorm`, so
+    checkpoints are interchangeable between the NHWC and channel-first
+    mask-head spines. Numerics mirror flax defaults: f32 statistics,
+    fast-variance E[x²]−E[x]²."""
+    num_groups: int
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, C, H, W = x.shape
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        xf = x.astype(jnp.float32).reshape(B, self.num_groups, -1)
+        mean = jnp.mean(xf, axis=2, keepdims=True)
+        var = jnp.mean(xf * xf, axis=2, keepdims=True) - mean * mean
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y.reshape(B, C, H, W)
+        y = (y * scale.astype(jnp.float32)[None, :, None, None]
+             + bias.astype(jnp.float32)[None, :, None, None])
+        return y.astype(self.dtype)
 
 
 class PlainConv(nn.Module):
@@ -155,6 +189,8 @@ class MaskHeadConv(nn.Module):
     expand_mode: str = "repeat"   # "repeat": image-major (b*N+n, reference
                                   # L140-147); "tile": instance-major (n*T+t,
                                   # reference devis L34-35)
+    channel_first_spine: Optional[bool] = None  # None → auto (CF on the
+                                  # Pallas/deformable path; see __call__)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -162,44 +198,72 @@ class MaskHeadConv(nn.Module):
                  expand: int):
         """features[0]: (B, H, W, C) coarsest; features[i>0]: finer maps.
         bbox_masks: per level (B*expand, heads, H, W). ``expand`` = instances
-        per image; features are tiled instance-major to (B*expand, ...)."""
+        per image; features are tiled instance-major to (B*expand, ...).
+
+        On the deformable/Pallas path the spine runs CHANNEL-FIRST end to
+        end: the banded DCNv2 kernel wants (C, rows) layout, so chaining
+        layers channel-first deletes a per-layer NHWC↔NCHW round trip of the
+        ~GB expanded activation (and the attention maps arrive channel-first
+        already). Parameters are layout-independent (same trees either way)."""
+        from ..ops.ms_deform_attn import resolve_impl
+        cf = self.channel_first_spine
+        if cf is None:
+            cf = self.use_deformable_conv and resolve_impl("auto") == "pallas"
+        cf = cf and self.use_deformable_conv
         conv = ModulatedDeformableConv if self.use_deformable_conv else PlainConv
         num_levels = len(self.fpn_dims) + 1
         out_dims = [self.dim // (2 ** e) for e in range(num_levels + 2)]
 
         def expand_feat(t):
-            # (B, H, W, C) -> (B*expand, H, W, C)
+            # (B, H, W, C) -> (B*expand, [H, W, C] | [C, H, W])
+            if cf:
+                t = jnp.transpose(t, (0, 3, 1, 2))        # per-image: small
             if self.expand_mode == "tile":
                 return jnp.tile(t, (expand, 1, 1, 1))
             return jnp.repeat(t, expand, axis=0)
 
-        def att_to_nhwc(a):
-            return jnp.transpose(a, (0, 2, 3, 1))         # (BN, H, W, heads)
+        def att(a):
+            # bbox_masks arrive (BN, heads, H, W) — already channel-first
+            return a if cf else jnp.transpose(a, (0, 2, 3, 1))
 
-        x = jnp.concatenate([expand_feat(features[0]),
-                             att_to_nhwc(bbox_masks[0])], axis=-1)
-        x = conv(x.shape[-1], dtype=self.dtype, name="lay1")(x)
-        x = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype, name="gn1")(x)
-        x = nn.relu(x)
-        x = conv(out_dims[1], dtype=self.dtype, name="lay2")(x)
-        x = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype, name="gn2")(x)
-        x = nn.relu(x)
+        c_ax = 1 if cf else -1
+
+        def gn(name):
+            if cf:
+                return GroupNormCF(num_groups=8, epsilon=1e-5,
+                                   dtype=self.dtype, name=name)
+            return nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
+                                name=name)
+
+        def apply_conv(mod, x):
+            return mod(x, channel_first=True) if cf else mod(x)
+
+        x = jnp.concatenate([expand_feat(features[0]), att(bbox_masks[0])],
+                            axis=c_ax)
+        x = apply_conv(conv(x.shape[c_ax], dtype=self.dtype, name="lay1"), x)
+        x = nn.relu(gn("gn1")(x))
+        x = apply_conv(conv(out_dims[1], dtype=self.dtype, name="lay2"), x)
+        x = nn.relu(gn("gn2")(x))
 
         for lvl, feat in enumerate(features[1:]):
             fpn = nn.Conv(out_dims[lvl + 1], (1, 1),
                           kernel_init=nn.initializers.he_uniform(),
                           dtype=self.dtype, name=f"adapter{lvl + 1}")(feat)
             fpn = expand_feat(fpn)
-            x = fpn + resize_nearest(x, (fpn.shape[1], fpn.shape[2]))
+            if cf:
+                x = fpn + resize_nearest_hw(x, (fpn.shape[2], fpn.shape[3]))
+            else:
+                x = fpn + resize_nearest(x, (fpn.shape[1], fpn.shape[2]))
             if self.num_att_levels > 1 and lvl + 1 < len(bbox_masks):
-                x = jnp.concatenate([x, att_to_nhwc(bbox_masks[lvl + 1])], axis=-1)
-            x = conv(out_dims[lvl + 2], dtype=self.dtype, name=f"lay{lvl + 3}")(x)
-            x = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
-                             name=f"gn{lvl + 3}")(x)
-            x = nn.relu(x)
+                x = jnp.concatenate([x, att(bbox_masks[lvl + 1])], axis=c_ax)
+            x = apply_conv(conv(out_dims[lvl + 2], dtype=self.dtype,
+                                name=f"lay{lvl + 3}"), x)
+            x = nn.relu(gn(f"gn{lvl + 3}")(x))
 
         if self.out_layer:
-            x = conv(1, dtype=self.dtype, name="out_lay")(x)
+            x = apply_conv(conv(1, dtype=self.dtype, name="out_lay"), x)
+        if cf:
+            x = jnp.transpose(x, (0, 2, 3, 1))            # 1|C channels: cheap
         return x                                           # (B*expand, h, w, 1|C)
 
 

@@ -121,6 +121,36 @@ def _mdc_bwd(padding, res, g):
 modulated_deform_conv2d.defvjp(_mdc_fwd, _mdc_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def modulated_deform_conv2d_cf(x, w_off, b_off, w_mod, b_mod, weight, bias,
+                               padding: int = 1):
+    """`modulated_deform_conv2d` on channel-first (B, C, H, W) input/output —
+    the mask-head spine chains DCNv2 layers channel-first so the per-layer
+    NHWC↔NCHW round trips (and the ~GB staged-buffer transpose) disappear.
+    Backward transposes to the NHWC differentiable composition."""
+    from .deform_conv_banded import deform_conv2d_banded_fused
+    return deform_conv2d_banded_fused(x, w_off, b_off, w_mod, b_mod,
+                                      weight, bias, padding,
+                                      channel_first=True)
+
+
+def _mdc_cf_fwd(x, w_off, b_off, w_mod, b_mod, weight, bias, padding):
+    return (modulated_deform_conv2d_cf(x, w_off, b_off, w_mod, b_mod, weight,
+                                       bias, padding),
+            (x, w_off, b_off, w_mod, b_mod, weight, bias))
+
+
+def _mdc_cf_bwd(padding, res, g):
+    x_cf, *rest = res
+    x = jnp.transpose(x_cf, (0, 2, 3, 1))
+    _, vjp = jax.vjp(lambda *a: _mdc_reference(*a, padding), x, *rest)
+    gx, *gr = vjp(jnp.transpose(g, (0, 2, 3, 1)))
+    return (jnp.transpose(gx, (0, 3, 1, 2)), *gr)
+
+
+modulated_deform_conv2d_cf.defvjp(_mdc_cf_fwd, _mdc_cf_bwd)
+
+
 def _deform_conv2d_pallas(x, offset, mask, weight, bias, padding=1):
     """Deformable conv with the channel mix folded BEFORE the gather.
 

@@ -250,15 +250,21 @@ def deform_conv2d_banded(x, offset, mask, weight, bias, padding: int = 1,
 # ~2× more device time than these fused XLA einsums.
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod, weight,
                                      bias, padding: int, ncand: int,
-                                     max_base: int, row_block: int):
-    """x (B,H,W,Cin); w_off (K,K,Cin,2KK); w_mod (K,K,Cin,KK);
-    weight (K,K,Cin,Cout). Returns (B,H,W,Cout) — the composition
+                                     max_base: int, row_block: int,
+                                     channel_first: bool = False):
+    """x (B,H,W,Cin), or (B,Cin,H,W) with `channel_first` (in which case the
+    output is (B,Cout,H,W) too — the mask-head spine chains layers channel-
+    first to skip the per-layer NHWC↔NCHW round trips); w_off (K,K,Cin,2KK);
+    w_mod (K,K,Cin,KK); weight (K,K,Cin,Cout). Returns the composition
     offset = conv(x, w_off)+b_off, mod = 2σ(conv(x, w_mod)+b_mod),
     deform_conv2d(x, offset, mod, weight, bias)."""
-    B, H, W, Cin = x.shape
+    if channel_first:
+        B, Cin, H, W = x.shape
+    else:
+        B, H, W, Cin = x.shape
     K = weight.shape[0]
     KK = K * K
     Cout = weight.shape[-1]
@@ -266,7 +272,9 @@ def _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod, weight,
         # Mosaic cannot DMA-slice a non-8-aligned sublane extent out of the
         # tiled HBM buffer; zero channels contribute nothing to the dots
         pad_c = 8 - Cin % 8
-        x = jnp.pad(x, ((0, 0),) * 3 + ((0, pad_c),))
+        cpad = ((0, 0), (0, pad_c), (0, 0), (0, 0)) if channel_first \
+            else ((0, 0),) * 3 + ((0, pad_c),)
+        x = jnp.pad(x, cpad)
         zoff = ((0, pad_c), (0, 0))
         w_off = jnp.pad(w_off, ((0, 0),) * 2 + zoff)
         w_mod = jnp.pad(w_mod, ((0, 0),) * 2 + zoff)
@@ -277,7 +285,7 @@ def _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod, weight,
     H_r = _round_up(H, R)
     Wp = _round_up(W + 2 * margin, 128)
 
-    x_t = jnp.transpose(x, (0, 3, 1, 2))
+    x_t = x if channel_first else jnp.transpose(x, (0, 3, 1, 2))
     x4 = jnp.pad(x_t, ((0, 0), (0, 0),
                        (margin, H_r - H + margin + 1),
                        (margin, Wp - W - margin)))        # (B, Cin, H_tot, Wp)
@@ -321,7 +329,8 @@ def _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod, weight,
     w_r = weight.reshape(KK, Cin, Cout).astype(x.dtype)
 
     # row rebase from channel means (see section comment)
-    x_mean = jnp.mean(x.astype(f32), axis=(1, 2))        # (B, Cin)
+    x_mean = jnp.mean(x.astype(f32),
+                      axis=(2, 3) if channel_first else (1, 2))  # (B, Cin)
     offy_mean = (x_mean @ w_off.astype(f32)
                  .sum(axis=(0, 1))[:, 0::2]) + b_off[0::2].astype(f32)
     base = jnp.clip(jnp.round(offy_mean), -max_base, max_base) \
@@ -360,15 +369,21 @@ def _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod, weight,
     )(base, off_p, mod_p, w_r, x_p)
 
     out = out.reshape(B, Cout, H_r, Wp)[:, :, :H, :W]
+    if channel_first:
+        return (out.astype(jnp.float32)
+                + bias[None, :, None, None]).astype(x.dtype)
     out = jnp.transpose(out, (0, 2, 3, 1))
     return (out.astype(jnp.float32) + bias).astype(x.dtype)
 
 
 def deform_conv2d_banded_fused(x, w_off, b_off, w_mod, b_mod, weight, bias,
                                padding: int = 1, ncand: int = 4,
-                               max_base: int = 8, row_block: int = 32):
+                               max_base: int = 8, row_block: int = 32,
+                               channel_first: bool = False):
     """Forward-only fused modulated deformable conv: field convs computed on
-    the kernel's staged flat buffer (no transpose/pad/copy field prep)."""
+    the kernel's staged flat buffer (no transpose/pad/copy field prep).
+    With `channel_first`, input and output are (B, C, H, W)."""
     return _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod,
                                             weight, bias, padding, ncand,
-                                            max_base, row_block)
+                                            max_base, row_block,
+                                            channel_first)

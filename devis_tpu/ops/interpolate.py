@@ -72,6 +72,21 @@ def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
                             _nearest_matrix(w_in, size[1]))
 
 
+def resize_nearest_hw(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Nearest-neighbor resize of (..., H, W) — channel-first layouts."""
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    if (h_in, w_in) == tuple(size):
+        return x
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    y = jnp.tensordot(xf, jnp.asarray(_nearest_matrix(h_in, size[0])),
+                      axes=[[-2], [1]])
+    y = jnp.moveaxis(y, -1, -2)                     # (..., h, W)
+    y = jnp.tensordot(y, jnp.asarray(_nearest_matrix(w_in, size[1])),
+                      axes=[[-1], [1]])             # (..., h, w)
+    return y.astype(dtype)
+
+
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize of (..., H, W, C), align_corners=False."""
     h_in, w_in = x.shape[-3], x.shape[-2]

@@ -182,3 +182,50 @@ def test_resnet_stem_space_to_depth_exact(rng_np):
         assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestChannelFirstMaskHead:
+    """The channel-first mask-head spine must match the NHWC spine exactly
+    (same parameter tree, layout-only change)."""
+
+    def test_groupnorm_cf_matches_flax(self, rng_np):
+        import flax.linen as nn
+        from devis_tpu.models.segmentation import GroupNormCF
+
+        x = jnp.asarray(rng_np.randn(2, 16, 6, 10), jnp.float32)
+        ref = nn.GroupNorm(num_groups=8, epsilon=1e-5)
+        cf = GroupNormCF(num_groups=8, epsilon=1e-5)
+        v = ref.init(jax.random.PRNGKey(0), jnp.transpose(x, (0, 2, 3, 1)))
+        # random affine params, shared between the two modules
+        v = jax.tree.map(
+            lambda p: jnp.asarray(rng_np.randn(*p.shape), p.dtype), v)
+        y_ref = ref.apply(v, jnp.transpose(x, (0, 2, 3, 1)))
+        y_cf = cf.apply(v, x)
+        np.testing.assert_allclose(np.asarray(jnp.transpose(y_cf, (0, 2, 3, 1))),
+                                   np.asarray(y_ref), rtol=2e-5, atol=2e-5)
+
+    def test_spine_matches_nhwc(self, rng_np):
+        from devis_tpu.models.segmentation import MaskHeadConv
+
+        B, N = 1, 3
+        feats = [jnp.asarray(rng_np.randn(B, 8, 12, 24), jnp.float32),
+                 jnp.asarray(rng_np.randn(B, 16, 24, 12), jnp.float32),
+                 jnp.asarray(rng_np.randn(B, 32, 48, 8), jnp.float32)]
+        heads = 8
+        bbox_masks = [
+            jnp.asarray(rng_np.rand(B * N, heads, f.shape[1], f.shape[2]),
+                        jnp.float32)
+            for f in feats[:2]]
+        kw = dict(dim=64, fpn_dims=(12, 8), nheads=heads,
+                  use_deformable_conv=True, num_att_levels=2)
+        nhwc = MaskHeadConv(channel_first_spine=False, **kw)
+        cf = MaskHeadConv(channel_first_spine=True, **kw)
+        variables = nhwc.init(jax.random.PRNGKey(3), feats, bbox_masks,
+                              expand=N)
+        # identical parameter trees: CF must accept the NHWC-initialized tree
+        y_nhwc = nhwc.apply(variables, feats, bbox_masks, expand=N)
+        y_cf = cf.apply(variables, feats, bbox_masks, expand=N)
+        assert y_nhwc.shape == y_cf.shape
+        # offset convs are zero-init → all taps in-band → banded == exact
+        np.testing.assert_allclose(np.asarray(y_cf), np.asarray(y_nhwc),
+                                   rtol=2e-4, atol=2e-4)
