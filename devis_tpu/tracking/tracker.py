@@ -64,16 +64,19 @@ class Tracker:
             m = logits[t, :hv, :wv].astype(np.float32)
             m = cv2.resize(m, (tgt_size[1], tgt_size[0]),
                            interpolation=cv2.INTER_LINEAR)
-            prob = 1.0 / (1.0 + np.exp(-m))
             if self.matcher.use_binary_mask_iou:
-                out.append(encode_mask(prob))
+                freeze = True
             elif clip_idx == 0:
-                out.append(encode_mask(prob)
-                           if t < T - self.overlap_window else prob)
+                freeze = t < T - self.overlap_window
             else:
-                freeze = (self.overlap_window + start_idx <= t < T - self.overlap_window
-                          or t < start_idx)
-                out.append(encode_mask(prob) if freeze else prob)
+                freeze = (self.overlap_window + start_idx <= t
+                          < T - self.overlap_window or t < start_idx)
+            if freeze:
+                # RLE thresholds at p=0.5 ⇔ logit>0 — skip the sigmoid for
+                # frames that freeze immediately (most of each clip)
+                out.append(encode_mask(m > 0.0))
+            else:
+                out.append(1.0 / (1.0 + np.exp(-m)))  # prob: soft-IoU overlap
         return out
 
     def __call__(self, video, all_times: Optional[List] = None):
