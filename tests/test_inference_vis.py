@@ -15,9 +15,10 @@ from devis_tpu.inference import build_tracker, inference_vis
 from devis_tpu.models import build_model
 
 
-def _tiny_cfg():
+def _tiny_cfg(binary_iou: bool = False):
     cfg = get_cfg_defaults()
     cfg.DATASETS.TYPE = "vis"
+    cfg.TEST.CLIP_TRACKING.USE_BINARY_MASK_IOU = binary_iou
     cfg.MODEL.MASK_ON = True
     cfg.MODEL.LOSS.MASK_AUX_LOSS = [0]
     cfg.MODEL.TRANSFORMER.ENCODER_LAYERS = 1
@@ -35,8 +36,13 @@ def _tiny_cfg():
     return cfg
 
 
-def test_inference_vis_end_to_end():
-    cfg = _tiny_cfg()
+import pytest
+
+
+@pytest.mark.parametrize("binary_iou", [False, True],
+                         ids=["soft_iou", "binary_rle_iou"])
+def test_inference_vis_end_to_end(binary_iou):
+    cfg = _tiny_cfg(binary_iou)
     model = build_model(num_classes=6, cfg=cfg)
     T = cfg.MODEL.DEVIS.NUM_FRAMES
     imgs = np.zeros((T, 64, 128, 3), np.float32)
