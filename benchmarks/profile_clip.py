@@ -48,7 +48,8 @@ def run_clip():
     imgs = jnp.asarray(rs.rand(T, H, W, 3), jnp.float32)
     mask = jnp.zeros((T, H, W), bool)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        variables = jax.jit(model.init, backend="cpu")(
+        variables = jax.jit(model.init, backend="cpu",
+                            static_argnames=("train",))(
             jax.random.PRNGKey(0), imgs, mask, train=False)
     dev = jax.devices()[0]
     variables, imgs, mask = jax.device_put((variables, imgs, mask), dev)
@@ -76,9 +77,14 @@ def run_coco():
     from devis_tpu.models import build_model
     H, W = 800, 1216
     cfg = get_cfg_defaults()
+    # mirror benchmarks/bench_coco.py exactly (NUM_OUT=50 per the reference
+    # recipe) so trace breakdowns explain the benchmark number
+    yaml_path = os.path.join(
+        os.path.dirname(__file__), "..", "configs", "deformable_mask_head",
+        "deformable_mask_head_R_50.yaml")
+    cfg.merge_from_file(yaml_path)
     cfg.DATASETS.TYPE = "coco"
     cfg.MODEL.MASK_ON = True
-    cfg.TEST.NUM_OUT = 100
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.freeze()
     model = build_model(num_classes=91, cfg=cfg)
@@ -86,15 +92,16 @@ def run_coco():
     imgs = jnp.asarray(rs.rand(1, H, W, 3), jnp.float32)
     mask = jnp.zeros((1, H, W), bool)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        variables = jax.jit(model.init, backend="cpu")(
+        variables = jax.jit(model.init, backend="cpu",
+                            static_argnames=("train",))(
             jax.random.PRNGKey(0), imgs, mask, train=False)
     dev = jax.devices()[0]
     variables, imgs, mask = jax.device_put((variables, imgs, mask), dev)
 
     @jax.jit
     def step(v, images, pad_mask):
-        out, res = model.apply(v, images, pad_mask, train=False)
-        return res
+        out = model.apply(v, images, pad_mask, train=False)
+        return out["top_k"]
 
     res = step(variables, imgs, mask)
     jax.block_until_ready(res)

@@ -21,7 +21,7 @@ as a BRANCH-FREE sum of statically-shifted slices:
     alone).
   * The bilinear weight is a separable tent, tent(Δy−ay)·tent(Δx−ax); after
     rebasing, the residual offsets concentrate near 0, so a small STATIC
-    candidate window (ncand per axis, default 4: shifts −1..+2 around the
+    candidate window (ncand per axis: shifts −lo..ncand−1−lo around the
     base) covers the taps. Each candidate pair is one unconditional
     broadcast-FMA of a static slice — no gathers, no one-hot tiles, and no
     `pl.when` (measured ~1 µs per conditional region on v5e made every
@@ -32,10 +32,12 @@ as a BRANCH-FREE sum of statically-shifted slices:
 Layout: everything is pre-flattened to 2D (channels, rows·Wp) with Wp a
 128-multiple so the kernel contains no unsupported shape casts; x is
 zero-padded by `margin` (zero padding ⇒ out-of-image taps contribute 0,
-exactly the reference's convention) and stored (B, Cin, Hp·Wp); each
-position's haloed window is one contiguous lane range copied with a manual
-async DMA whose start encodes the rebase (all 9 copies started before the
-first use — the premix/FMA work of earlier positions hides later DMAs).
+exactly the reference's convention) and stored (B, Cin, Hp·Wp); the window
+is one contiguous lane range copied with a manual async DMA whose start
+encodes the rebase. The per-pixel fields travel as ONE packed operand with
+rows [Δy(KK) | Δx(KK) | m(KK)] in the compute dtype (bf16 on the inference
+path — modulation has σ pre-applied, so bf16 rounding only perturbs tent
+weights ~1e-2; the f32 parity path stays f32 end to end).
 
 Exactness: identical to the reference for every tap whose offset satisfies
 |Δ − base| inside the candidate window (the base itself is clamped to
@@ -43,7 +45,7 @@ Exactness: identical to the reference for every tap whose offset satisfies
 (reference L250-256) and trained offsets are smooth small fields, so the
 per-instance-mean rebase absorbs the bulk and residual spread < ~2 px holds
 in practice; taps beyond the window drop (their true sample would need an
-unbounded gather). `ncand`/`max_base` are configurable per call.
+unbounded gather). `ncand`/`ncand_y`/`max_base` are configurable per call.
 
 Differentiation: forward-only; `deform_conv.deform_conv2d` dispatches here
 for inference and pairs it with the differentiable one-hot route's VJP for
@@ -67,43 +69,67 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-def _banded_kernel(base_ref, off_ref, mod_ref, w_ref, x_hbm, out_ref,
+def _banded_kernel(base_ref, f_ref, w_ref, x_hbm, out_ref,
                    acc_ref, *xw, Cin: int, Cout: int, R: int, Wp: int,
-                   margin: int, ncand: int, K: int, padding: int):
+                   margin: int, ncand_x: int, ncand_y: int, K: int,
+                   padding: int):
     """One (instance, row-block) step: ONE union-band window DMA shared by
     all K² positions, per-position MXU premix over a 128-aligned dynamic
-    row-slice, ncand² unconditional tent FMAs.
+    row-slice, ncand_y·ncand_x unconditional tent FMAs.
 
     The per-tap windows differ only by a row shift ky+by ∈ ±(max_base +
     padding); staging each separately re-read the x buffer K²× from HBM
     (measured ~2/3 of the kernel time at COCO mask-head shapes). The union
-    band is R + 2·(max_base+padding) + ncand + 1 rows — ~6× less traffic."""
+    band is R + 2·(max_base+padding) + ncand_y + 1 rows — ~6× less traffic.
+
+    ``f_ref`` packs the per-pixel fields as rows [Δy(KK) | Δx(KK) | m(KK)]
+    in the COMPUTE dtype (see module docstring)."""
     KK = K * K
     x_u, sem = xw
     b = pl.program_id(0)
     hb = pl.program_id(1)
-    rows_win = R + ncand + 1   # +1 row: column-window overrun slack
+    rows_win = R + ncand_y + 1   # +1 row: column-window overrun slack
     n_win = rows_win * Wp
-    max_base = margin - ncand - padding
+    nc_max = max(ncand_x, ncand_y)
+    max_base = margin - nc_max - padding
     shift = max_base + padding          # tap row offsets land in [0, 2·shift]
 
-    lo = (ncand - 1) // 2
+    lo_x = (ncand_x - 1) // 2
+    lo_y = (ncand_y - 1) // 2
     # union window start: the smallest per-tap start (ky=−padding,
     # by=−max_base). Row steps are ×Wp (a 128-multiple) so the dynamic HBM
     # offset stays lane-aligned for the DMA.
-    start_u = (hb * R + margin - shift - lo) * Wp
+    start_u = (hb * R + margin - shift - lo_y) * Wp
     cp = pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(start_u, (R + 2 * shift + ncand + 1) * Wp)],
+        x_hbm.at[b, :, pl.ds(start_u, (R + 2 * shift + ncand_y + 1) * Wp)],
         x_u, sem)
     cp.start()
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    N = R * Wp
     # upcast the whole row block ONCE — per-row slices of packed bf16
     # sublanes are slow, and rows arrive bf16 to halve HBM traffic
-    off_f = off_ref[0].astype(jnp.float32)     # (2·KK, N)
-    mod_f = mod_ref[0].astype(jnp.float32)     # (KK, N)
+    f = f_ref[0].astype(jnp.float32)           # (3·KK, N): Δy | Δx | m
     cp.wait()
+    _premix_tent_combine(acc_ref, base_ref, x_u, w_ref, f, False, R=R,
+                         Wp=Wp, margin=margin, ncand_x=ncand_x,
+                         ncand_y=ncand_y, K=K, padding=padding, shift=shift)
+    out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _premix_tent_combine(acc_ref, base_ref, x_u, w_ref, f, mod_sigmoid, *,
+                         R, Wp, margin, ncand_x, ncand_y, K, padding, shift):
+    """The shared inner loop: per kernel position an MXU premix over a
+    Wp-aligned dynamic row-slice of the union band, then ncand_y·ncand_x
+    unconditional tent FMAs against the f32 field rows ``f``
+    ((3KK, R·Wp) value or VMEM ref: Δy | Δx | modulation). With
+    ``mod_sigmoid`` the modulation rows are raw logits and m = 2σ(·) is
+    applied here."""
+    KK = K * K
+    N = R * Wp
+    rows_win = R + ncand_y + 1
+    n_win = rows_win * Wp
+    lo_x = (ncand_x - 1) // 2
+    lo_y = (ncand_y - 1) // 2
     for k in range(KK):
         ky = k // K - padding
         by = base_ref[0, 0, k, 0]
@@ -119,30 +145,134 @@ def _banded_kernel(base_ref, off_ref, mod_ref, w_ref, x_hbm, out_ref,
             precision=(jax.lax.Precision.HIGHEST
                        if x_u.dtype == jnp.float32 else None))
         byf = base_ref[0, 0, k, 0].astype(jnp.float32)
-        dy = off_f[2 * k:2 * k + 1, :] - byf          # y residual offsets
-        dx = off_f[2 * k + 1:2 * k + 2, :]            # x has no rebase
-        mk = mod_f[k:k + 1, :]
+        dy = f[k:k + 1, :] - byf                      # y residual offsets
+        dx = f[KK + k:KK + k + 1, :]                  # x has no rebase
+        mk = f[2 * KK + k:2 * KK + k + 1, :]
+        if mod_sigmoid:
+            mk = 2.0 * jax.nn.sigmoid(mk)
 
         kx = k % K - padding
-        col0 = margin + kx - lo
+        col0 = margin + kx - lo_x
         # hoist the unaligned column shifts: one relayout per l, then every
         # (j, l) pair is a lane-ALIGNED row slice
-        uls = [u[:, col0 + l:col0 + l + (R + ncand) * Wp]
-               for l in range(ncand)]
-        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - (l - lo))) * mk
-               for l in range(ncand)]
-        for j in range(ncand):
-            wyj = jnp.maximum(0.0, 1.0 - jnp.abs(dy - (j - lo)))
-            for l in range(ncand):
+        uls = [u[:, col0 + l:col0 + l + (R + ncand_y) * Wp]
+               for l in range(ncand_x)]
+        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - (l - lo_x))) * mk
+               for l in range(ncand_x)]
+        for j in range(ncand_y):
+            wyj = jnp.maximum(0.0, 1.0 - jnp.abs(dy - (j - lo_y)))
+            for l in range(ncand_x):
                 w = wyj * wxs[l]
                 acc_ref[:] += w * uls[l][:, j * Wp:j * Wp + N]
 
+
+def _banded_infield_kernel(base_ref, wf_ref, bf_ref, w_ref, x_hbm, out_ref,
+                           acc_ref, f_scr, *xw, Cin: int, Cout: int, R: int,
+                           Wp: int, margin: int, ncand_x: int, ncand_y: int,
+                           K: int, padding: int):
+    """Fully-fused DCNv2 step: the offset/modulator FIELD convs run inside
+    the kernel on the staged union band (their K×K taps are a subset of the
+    band's rows), so no field maps ever exist in HBM — the XLA-side field
+    conv fought the pallas operand layout and paid ~GB relayout copies per
+    layer (measured: conv 3.4 ms + layout copy 3.3 ms + cast/flatten ~2 ms
+    at COCO /4 shapes, per layer).
+
+    ``wf_ref``: (KK, Cin, 3KK) field weights, output channels pre-ordered
+    [Δy(KK) | Δx(KK) | mod-logit(KK)]; ``bf_ref``: (3KK, 1) f32 biases.
+    The modulation σ runs in-kernel (f32, via the combine's flag)."""
+    KK = K * K
+    x_u, sem = xw
+    b = pl.program_id(0)
+    hb = pl.program_id(1)
+    nc_max = max(ncand_x, ncand_y)
+    max_base = margin - nc_max - padding
+    shift = max_base + padding
+    lo_y = (ncand_y - 1) // 2
+    N = R * Wp
+
+    start_u = (hb * R + margin - shift - lo_y) * Wp
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(start_u, (R + 2 * shift + ncand_y + 1) * Wp)],
+        x_u, sem)
+    cp.start()
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    cp.wait()
+
+    prec = (jax.lax.Precision.HIGHEST if x_u.dtype == jnp.float32 else None)
+    # Field convs on the band: output pixel (r, c) of this block sits at
+    # x_u row r + shift + lo_y, lane c + margin, so tap (ty, tx) reads row
+    # r + shift + lo_y + ty ≥ 0 (shift + lo_y ≥ padding). The tx column
+    # shifts are hoisted: one unaligned relayout per tx covering all K row
+    # taps, then each ty is a lane-aligned row slice of it.
+    frow0 = shift + lo_y - padding
+    for tx in range(K):
+        c0 = frow0 * Wp + margin + (tx - padding)
+        xs_tx = x_u[:, c0:c0 + (R + K - 1) * Wp]
+        for ty in range(K):
+            t = ty * K + tx
+            term = jax.lax.dot_general(
+                wf_ref[t], xs_tx[:, ty * Wp:ty * Wp + N],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            if tx == 0 and ty == 0:
+                f_scr[:] = term + bf_ref[:]                 # seed with bias
+            else:
+                f_scr[:] += term                            # (3KK, N) f32
+
+    _premix_tent_combine(acc_ref, base_ref, x_u, w_ref, f_scr, True, R=R,
+                         Wp=Wp, margin=margin, ncand_x=ncand_x,
+                         ncand_y=ncand_y, K=K, padding=padding, shift=shift)
     out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _call_banded_kernel(base, f_p, w_r, x_p, *, B, Cin, Cout, H_r, R, Wp,
+                        margin, ncand_x, ncand_y, K, padding, max_base,
+                        out_dtype):
+    """Shared pallas_call wrapper for the fused/unfused entry points."""
+    KK = K * K
+    R_lanes = R * Wp
+    kernel = functools.partial(
+        _banded_kernel, Cin=Cin, Cout=Cout, R=R, Wp=Wp, margin=margin,
+        ncand_x=ncand_x, ncand_y=ncand_y, K=K, padding=padding)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H_r // R),
+        in_specs=[
+            pl.BlockSpec((1, 1, KK, 1), lambda b, hb: (b, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3 * KK, R_lanes), lambda b, hb: (b, 0, hb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KK, Cin, Cout), lambda b, hb: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, Cout, R_lanes), lambda b, hb: (b, 0, hb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Cout, H_r * Wp), out_dtype),
+        scratch_shapes=(
+            [pltpu.VMEM((Cout, R_lanes), jnp.float32),
+             pltpu.VMEM((Cin, (R + 2 * (max_base + padding) + ncand_y + 1)
+                         * Wp), x_p.dtype),
+             pltpu.SemaphoreType.DMA]
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(base, f_p, w_r, x_p)
+
+
+def _auto_row_block(row_block, W):
+    # wider maps amortize the union-band halo (2·shift + ncand_y rows) over
+    # more output rows per step — measured win at the COCO /4 and /8 shapes
+    if row_block is not None:
+        return row_block
+    return 64 if W >= 144 else 32
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def _deform_conv2d_banded_impl(x, offset, mask, weight, bias, padding: int,
-                               ncand: int, max_base: int, row_block: int):
+                               ncand: int, max_base: int, row_block,
+                               ncand_y: int):
     """x (B,H,W,Cin); offset (B,H,W,2KK) (y,x); mask (B,H,W,KK);
     weight (K,K,Cin,Cout); bias (Cout,). Returns (B,H,W,Cout)."""
     B, H, W, Cin = x.shape
@@ -150,9 +280,9 @@ def _deform_conv2d_banded_impl(x, offset, mask, weight, bias, padding: int,
     KK = K * K
     Cout = weight.shape[-1]
     # margin covers base (±max_base) + kernel (±padding) + candidates
-    # (−1 .. ncand−2) + the bilinear neighbour
-    margin = max_base + ncand + padding
-    R = min(row_block, _round_up(H, 8))
+    # (−lo .. ncand−1−lo) + the bilinear neighbour
+    margin = max_base + max(ncand, ncand_y) + padding
+    R = min(_auto_row_block(row_block, W), _round_up(H, 8))
     H_r = _round_up(H, R)
     Wp = _round_up(W + 2 * margin, 128)
 
@@ -166,14 +296,13 @@ def _deform_conv2d_banded_impl(x, offset, mask, weight, bias, padding: int,
                         (margin, Wp - W - margin)))
     x_p = x_p.reshape(B, Cin, (H_r + 2 * margin + 1) * Wp)
 
-    # per-pixel offset/modulation maps, flattened (B, ch, H_r·Wp); the
-    # padding region gets zeros — those outputs are discarded
+    # per-pixel field maps packed [Δy | Δx | m], flattened (B, 3KK, H_r·Wp);
+    # the padding region gets zeros — those outputs are discarded
     off_t = jnp.transpose(offset, (0, 3, 1, 2))
-    off_p = jnp.pad(off_t, ((0, 0), (0, 0), (0, H_r - H), (0, Wp - W)))
-    off_p = off_p.reshape(B, 2 * KK, H_r * Wp)
     mod_t = jnp.transpose(mask, (0, 3, 1, 2))
-    mod_p = jnp.pad(mod_t, ((0, 0), (0, 0), (0, H_r - H), (0, Wp - W)))
-    mod_p = mod_p.reshape(B, KK, H_r * Wp)
+    f_t = jnp.concatenate([off_t[:, 0::2], off_t[:, 1::2], mod_t], axis=1)
+    f_p = jnp.pad(f_t, ((0, 0), (0, 0), (0, H_r - H), (0, Wp - W)))
+    f_p = f_p.reshape(B, 3 * KK, H_r * Wp)
 
     w_r = weight.reshape(KK, Cin, Cout).astype(x.dtype)
 
@@ -184,37 +313,10 @@ def _deform_conv2d_banded_impl(x, offset, mask, weight, bias, padding: int,
     base = jnp.clip(jnp.round(offy_mean), -max_base, max_base) \
         .astype(jnp.int32).reshape(B, 1, KK, 1)
 
-    R_lanes = R * Wp
-    kernel = functools.partial(
-        _banded_kernel, Cin=Cin, Cout=Cout, R=R, Wp=Wp, margin=margin,
-        ncand=ncand, K=K, padding=padding)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, H_r // R),
-        in_specs=[
-            pl.BlockSpec((1, 1, KK, 1), lambda b, hb: (b, 0, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2 * KK, R_lanes), lambda b, hb: (b, 0, hb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KK, R_lanes), lambda b, hb: (b, 0, hb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((KK, Cin, Cout), lambda b, hb: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        ],
-        out_specs=pl.BlockSpec((1, Cout, R_lanes), lambda b, hb: (b, 0, hb),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Cout, H_r * Wp), x.dtype),
-        scratch_shapes=(
-            [pltpu.VMEM((Cout, R_lanes), jnp.float32),
-             pltpu.VMEM((Cin, (R + 2 * (max_base + padding) + ncand + 1)
-                         * Wp), x.dtype),
-             pltpu.SemaphoreType.DMA]
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=_interpret(),
-    )(base, off_p, mod_p, w_r, x_p)
+    out = _call_banded_kernel(
+        base, f_p, w_r, x_p, B=B, Cin=Cin, Cout=Cout, H_r=H_r, R=R, Wp=Wp,
+        margin=margin, ncand_x=ncand, ncand_y=ncand_y, K=K, padding=padding,
+        max_base=max_base, out_dtype=x.dtype)
 
     out = out.reshape(B, Cout, H_r, Wp)[:, :, :H, :W]
     out = jnp.transpose(out, (0, 2, 3, 1))
@@ -223,12 +325,16 @@ def _deform_conv2d_banded_impl(x, offset, mask, weight, bias, padding: int,
 
 def deform_conv2d_banded(x, offset, mask, weight, bias, padding: int = 1,
                          ncand: int = 4, max_base: int = 8,
-                         row_block: int = 32):
+                         row_block=None, ncand_y=None):
     """Forward-only rebased-window deformable conv (see module docstring).
     Exact vs the reference while each position's offsets stay within the
-    candidate window around the per-instance mean; far taps drop."""
+    candidate window around the per-instance mean y-offset (rows are
+    rebased; columns use the static window alone); far taps drop.
+    ``ncand`` is the column window; ``ncand_y`` (default = ncand) the row
+    window; ``row_block=None`` picks the block size from the map width."""
     return _deform_conv2d_banded_impl(x, offset, mask, weight, bias,
-                                      padding, ncand, max_base, row_block)
+                                      padding, ncand, max_base, row_block,
+                                      ncand if ncand_y is None else ncand_y)
 
 # ---------------------------------------------------------------------------
 # Fused variant: offset/modulator field convs on the staged flat buffer
@@ -239,22 +345,23 @@ def deform_conv2d_banded(x, offset, mask, weight, bias, padding: int = 1,
 # through separate NHWC convs costs, per deformable conv, an NHWC→NCHW
 # transpose + pad + flatten copy of 3·KK channels at full map size — at COCO
 # /4 shapes this prep dwarfed the kernel itself. Here both fields are
-# computed as tap-wise einsums directly on the NCHW-flat zero-padded buffer
-# the kernel stages anyway (XLA fuses the 9 shifted reads into one loop
-# nest; no transposes, no extra pads), and the row rebase comes from channel
+# computed as ONE K×K conv directly on the NCHW-flat zero-padded buffer the
+# kernel stages anyway (no transposes, no extra pads: explicit column
+# padding makes the conv emit exactly Wp columns, so the packed field
+# operand is BORN in kernel layout), and the row rebase comes from channel
 # means: mean_p conv(x)(p) ≈ W_offᵀ·mean(x) + b (boundary zero-padding error
 # ≤ the edge-pixel fraction — the base is a windowing heuristic, so the
 # approximation only shifts which taps the window covers, never tap values).
 # An earlier experiment computed the fields INSIDE the kernel from an extra
 # row window; the small-M (27-row) per-block matmuls and value pressure cost
-# ~2× more device time than these fused XLA einsums.
+# ~2× more device time than this fused XLA conv.
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
 def _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod, weight,
                                      bias, padding: int, ncand: int,
-                                     max_base: int, row_block: int,
-                                     channel_first: bool = False):
+                                     max_base: int, row_block,
+                                     channel_first: bool, ncand_y: int):
     """x (B,H,W,Cin), or (B,Cin,H,W) with `channel_first` (in which case the
     output is (B,Cout,H,W) too — the mask-head spine chains layers channel-
     first to skip the per-layer NHWC↔NCHW round trips); w_off (K,K,Cin,2KK);
@@ -280,8 +387,8 @@ def _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod, weight,
         w_mod = jnp.pad(w_mod, ((0, 0),) * 2 + zoff)
         weight = jnp.pad(weight, ((0, 0),) * 2 + zoff)
         Cin += pad_c
-    margin = max_base + ncand + padding
-    R = min(row_block, _round_up(H, 8))
+    margin = max_base + max(ncand, ncand_y) + padding
+    R = min(_auto_row_block(row_block, W), _round_up(H, 8))
     H_r = _round_up(H, R)
     Wp = _round_up(W + 2 * margin, 128)
 
@@ -291,40 +398,16 @@ def _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod, weight,
                        (margin, Wp - W - margin)))        # (B, Cin, H_tot, Wp)
     x_p = x4.reshape(B, Cin, (H_r + 2 * margin + 1) * Wp)
 
-    # Field convs as ONE K×K conv on the padded buffer (f32 accumulate, zero
-    # padding == the reference convention). The earlier tap-wise einsum loop
-    # re-read the whole ~GB staged buffer once per tap (9× HBM traffic,
-    # measured 2 ms/tap at COCO mask-head shapes — the round-2 COCO
-    # regression); the conv reads it once. Column reach caps the output
-    # width at Wp − margin − 1 ≥ W + margin; the discarded pad-column tail
-    # is restored by one output pad.
+    # Field weights packed for the IN-KERNEL field conv (see
+    # `_banded_infield_kernel`): (KK taps, Cin, 3KK) with output channels
+    # pre-ordered [Δy(KK) | Δx(KK) | mod-logit(KK)], plus (3KK, 1) f32
+    # biases. No field map ever exists in HBM.
     f32 = jnp.float32
-    w27 = jnp.concatenate([w_off.reshape(KK, Cin, 2 * KK),
-                           w_mod.reshape(KK, Cin, KK)],
-                          axis=-1).astype(x.dtype)        # (KK, Cin, 3KK)
-    Lc = Wp - margin - 1
-    prec = ("highest" if x.dtype == jnp.float32 else None)
-    # tap t reads x4[…, margin+ty+h, margin+tx+w] (ty=t//K−padding,
-    # tx=t%K−padding) ⇔ VALID conv over the slice starting at margin−padding
-    # with OIHW weights W[o, c, ky, kx] = w27[ky·K+kx, c, o].
-    assert margin >= padding and margin - padding + Lc + K - 1 <= Wp, \
-        (margin, padding, Lc, K, Wp)
-    xs_all = jax.lax.slice(
-        x4, (0, 0, margin - padding, margin - padding),
-        (B, Cin, margin - padding + H_r + K - 1,
-         margin - padding + Lc + K - 1))
-    w_oihw = jnp.transpose(w27.reshape(K, K, Cin, 3 * KK), (3, 2, 0, 1))
-    f27 = jax.lax.conv_general_dilated(
-        xs_all, w_oihw, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=f32, precision=prec)       # (B, 3KK, H_r, Lc)
-    b27 = jnp.concatenate([b_off, b_mod]).astype(f32)
-    f27 = f27 + b27[None, :, None, None]
-    off4 = f27[:, :2 * KK]
-    mod4 = 2.0 * jax.nn.sigmoid(f27[:, 2 * KK:])
-    cpad = ((0, 0), (0, 0), (0, 0), (0, Wp - Lc))
-    off_p = jnp.pad(off4, cpad).reshape(B, 2 * KK, H_r * Wp)
-    mod_p = jnp.pad(mod4, cpad).reshape(B, KK, H_r * Wp)
+    w27 = jnp.concatenate([w_off[..., 0::2], w_off[..., 1::2],
+                           w_mod], axis=-1).astype(x.dtype)  # (K,K,Cin,3KK)
+    wf = w27.reshape(KK, Cin, 3 * KK)
+    b27 = jnp.concatenate([b_off[0::2], b_off[1::2],
+                           b_mod]).astype(f32).reshape(3 * KK, 1)
 
     w_r = weight.reshape(KK, Cin, Cout).astype(x.dtype)
 
@@ -338,17 +421,17 @@ def _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod, weight,
 
     R_lanes = R * Wp
     kernel = functools.partial(
-        _banded_kernel, Cin=Cin, Cout=Cout, R=R, Wp=Wp, margin=margin,
-        ncand=ncand, K=K, padding=padding)
+        _banded_infield_kernel, Cin=Cin, Cout=Cout, R=R, Wp=Wp,
+        margin=margin, ncand_x=ncand, ncand_y=ncand_y, K=K, padding=padding)
     out = pl.pallas_call(
         kernel,
         grid=(B, H_r // R),
         in_specs=[
             pl.BlockSpec((1, 1, KK, 1), lambda b, hb: (b, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2 * KK, R_lanes), lambda b, hb: (b, 0, hb),
+            pl.BlockSpec((KK, Cin, 3 * KK), lambda b, hb: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KK, R_lanes), lambda b, hb: (b, 0, hb),
+            pl.BlockSpec((3 * KK, 1), lambda b, hb: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((KK, Cin, Cout), lambda b, hb: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -359,14 +442,15 @@ def _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod, weight,
         out_shape=jax.ShapeDtypeStruct((B, Cout, H_r * Wp), x.dtype),
         scratch_shapes=(
             [pltpu.VMEM((Cout, R_lanes), jnp.float32),
-             pltpu.VMEM((Cin, (R + 2 * (max_base + padding) + ncand + 1)
+             pltpu.VMEM((3 * KK, R_lanes), jnp.float32),
+             pltpu.VMEM((Cin, (R + 2 * (max_base + padding) + ncand_y + 1)
                          * Wp), x.dtype),
              pltpu.SemaphoreType.DMA]
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(base, off_p, mod_p, w_r, x_p)
+    )(base, wf, b27, w_r, x_p)
 
     out = out.reshape(B, Cout, H_r, Wp)[:, :, :H, :W]
     if channel_first:
@@ -378,12 +462,14 @@ def _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod, weight,
 
 def deform_conv2d_banded_fused(x, w_off, b_off, w_mod, b_mod, weight, bias,
                                padding: int = 1, ncand: int = 4,
-                               max_base: int = 8, row_block: int = 32,
-                               channel_first: bool = False):
+                               max_base: int = 8, row_block=None,
+                               channel_first: bool = False, ncand_y=None):
     """Forward-only fused modulated deformable conv: field convs computed on
     the kernel's staged flat buffer (no transpose/pad/copy field prep).
     With `channel_first`, input and output are (B, C, H, W)."""
     return _deform_conv2d_banded_fused_impl(x, w_off, b_off, w_mod, b_mod,
                                             weight, bias, padding, ncand,
                                             max_base, row_block,
-                                            channel_first)
+                                            channel_first,
+                                            ncand if ncand_y is None
+                                            else ncand_y)
