@@ -101,6 +101,7 @@ def build_model(num_classes: int, cfg):
             num_out=cfg.TEST.NUM_OUT,
             focal_loss=cfg.MODEL.LOSS.FOCAL_LOSS,
             add_3d_conv_head=cfg.MODEL.MASK_HEAD.DEVIS.CONV_HEAD_3D,
+            band_ncand=tuple(cfg.TPU.MASKHEAD_BAND_NCAND),
             dtype=dtype)
 
     if cfg.MODEL.MASK_ON:
@@ -113,5 +114,6 @@ def build_model(num_classes: int, cfg):
             matcher_cfg=matcher_cfg_from(cfg, clip=False),
             num_out=cfg.TEST.NUM_OUT,
             focal_loss=cfg.MODEL.LOSS.FOCAL_LOSS,
+            band_ncand=tuple(cfg.TPU.MASKHEAD_BAND_NCAND),
             dtype=dtype)
     return detr

@@ -13,7 +13,7 @@ clip-length trim and box rescaling happen host-side in the tracker.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -55,6 +55,7 @@ class DeVIS(nn.Module):
     num_out: int = 20
     focal_loss: bool = True
     add_3d_conv_head: bool = False
+    band_ncand: Tuple[int, int] = (4, 3)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -70,7 +71,9 @@ class DeVIS(nn.Module):
                                       self.use_deformable_conv,
                                       num_att_levels=len(self.att_maps_used_res),
                                       out_layer=not self.add_3d_conv_head,
-                                      expand_mode="tile", dtype=self.dtype)
+                                      expand_mode="tile",
+                                      band_ncand=self.band_ncand,
+                                      dtype=self.dtype)
         if self.add_3d_conv_head:
             self.conv_head_3d = Conv3DHead(dtype=self.dtype)
         else:

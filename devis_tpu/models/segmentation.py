@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Any, List, Optional, Sequence, Tuple
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -58,6 +60,7 @@ class ModulatedDeformableConv(nn.Module):
     features: int
     kernel: int = 3
     padding: int = 1
+    band_ncand: Tuple[int, int] = (4, 4)   # banded-kernel window (x, y)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -73,18 +76,19 @@ class ModulatedDeformableConv(nn.Module):
                             (K, K, Cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         dt = self.dtype
+        nc_x, nc_y = self.band_ncand
         if channel_first:
             # channel-first spine: always the fused banded route
             # (interpret-mode on CPU), CF in and out.
             return modulated_deform_conv2d_cf(
                 x, w_off.astype(dt), b_off.astype(dt), w_mod.astype(dt),
                 b_mod.astype(dt), weight.astype(x.dtype),
-                bias.astype(x.dtype), self.padding)
+                bias.astype(x.dtype), self.padding, nc_x, nc_y)
         if resolve_impl("auto") == "pallas":
             return modulated_deform_conv2d(
                 x, w_off.astype(dt), b_off.astype(dt), w_mod.astype(dt),
                 b_mod.astype(dt), weight.astype(x.dtype),
-                bias.astype(x.dtype), self.padding)
+                bias.astype(x.dtype), self.padding, nc_x, nc_y)
         offset = conv2d_nhwc(x, w_off.astype(dt), b_off.astype(dt),
                              self.padding)
         modulator = 2.0 * jax.nn.sigmoid(
@@ -191,6 +195,7 @@ class MaskHeadConv(nn.Module):
                                   # reference devis L34-35)
     channel_first_spine: Optional[bool] = None  # None → auto (CF on the
                                   # Pallas/deformable path; see __call__)
+    band_ncand: Tuple[int, int] = (4, 3)  # banded DCNv2 window (x, y)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -210,7 +215,11 @@ class MaskHeadConv(nn.Module):
         if cf is None:
             cf = self.use_deformable_conv and resolve_impl("auto") == "pallas"
         cf = cf and self.use_deformable_conv
-        conv = ModulatedDeformableConv if self.use_deformable_conv else PlainConv
+        if self.use_deformable_conv:
+            conv = functools.partial(ModulatedDeformableConv,
+                                     band_ncand=self.band_ncand)
+        else:
+            conv = PlainConv
         num_levels = len(self.fpn_dims) + 1
         out_dims = [self.dim // (2 ** e) for e in range(num_levels + 2)]
 
@@ -321,6 +330,7 @@ class DeformableDETRSegm(nn.Module):
     matcher_cfg: Optional[dict] = None
     num_out: int = 100
     focal_loss: bool = True
+    band_ncand: Tuple[int, int] = (4, 3)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -335,6 +345,7 @@ class DeformableDETRSegm(nn.Module):
         self.mask_head = MaskHeadConv(hidden_dim, fpn_dims, nheads,
                                       self.use_deformable_conv,
                                       num_att_levels=len(self.att_maps_used_res),
+                                      band_ncand=self.band_ncand,
                                       dtype=self.dtype)
 
     def _select_features(self, inter):

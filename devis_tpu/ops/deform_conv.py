@@ -84,9 +84,10 @@ def conv2d_nhwc(x, kernel, bias, padding: int):
     return out + bias.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def modulated_deform_conv2d(x, w_off, b_off, w_mod, b_mod, weight, bias,
-                            padding: int = 1):
+                            padding: int = 1, ncand: int = 4,
+                            ncand_y: int = 4):
     """Full DCNv2 layer (field convs + deformable conv) with the TPU
     inference forward fully fused into the banded kernel
     (`deform_conv_banded.deform_conv2d_banded_fused`) — no XLA-side
@@ -94,11 +95,13 @@ def modulated_deform_conv2d(x, w_off, b_off, w_mod, b_mod, weight, bias,
         offset = conv(x, w_off) + b_off
         mod    = 2·sigmoid(conv(x, w_mod) + b_mod)
         out    = deform_conv2d(x, offset, mod, weight, bias)
+    ``ncand``/``ncand_y`` set the banded candidate window per axis.
     Backward runs the differentiable composition (XLA field convs + one-hot
     VJP), mirroring `_deform_conv2d_banded_diff`."""
     from .deform_conv_banded import deform_conv2d_banded_fused
     return deform_conv2d_banded_fused(x, w_off, b_off, w_mod, b_mod,
-                                      weight, bias, padding)
+                                      weight, bias, padding, ncand=ncand,
+                                      ncand_y=ncand_y)
 
 
 def _mdc_reference(x, w_off, b_off, w_mod, b_mod, weight, bias, padding):
@@ -107,13 +110,14 @@ def _mdc_reference(x, w_off, b_off, w_mod, b_mod, weight, bias, padding):
     return _deform_conv2d_pallas(x, offset, mod, weight, bias, padding)
 
 
-def _mdc_fwd(x, w_off, b_off, w_mod, b_mod, weight, bias, padding):
+def _mdc_fwd(x, w_off, b_off, w_mod, b_mod, weight, bias, padding, ncand,
+             ncand_y):
     return (modulated_deform_conv2d(x, w_off, b_off, w_mod, b_mod, weight,
-                                    bias, padding),
+                                    bias, padding, ncand, ncand_y),
             (x, w_off, b_off, w_mod, b_mod, weight, bias))
 
 
-def _mdc_bwd(padding, res, g):
+def _mdc_bwd(padding, ncand, ncand_y, res, g):
     _, vjp = jax.vjp(lambda *a: _mdc_reference(*a, padding), *res)
     return vjp(g)
 
@@ -121,26 +125,28 @@ def _mdc_bwd(padding, res, g):
 modulated_deform_conv2d.defvjp(_mdc_fwd, _mdc_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def modulated_deform_conv2d_cf(x, w_off, b_off, w_mod, b_mod, weight, bias,
-                               padding: int = 1):
+                               padding: int = 1, ncand: int = 4,
+                               ncand_y: int = 4):
     """`modulated_deform_conv2d` on channel-first (B, C, H, W) input/output —
     the mask-head spine chains DCNv2 layers channel-first so the per-layer
     NHWC↔NCHW round trips (and the ~GB staged-buffer transpose) disappear.
     Backward transposes to the NHWC differentiable composition."""
     from .deform_conv_banded import deform_conv2d_banded_fused
     return deform_conv2d_banded_fused(x, w_off, b_off, w_mod, b_mod,
-                                      weight, bias, padding,
-                                      channel_first=True)
+                                      weight, bias, padding, ncand=ncand,
+                                      ncand_y=ncand_y, channel_first=True)
 
 
-def _mdc_cf_fwd(x, w_off, b_off, w_mod, b_mod, weight, bias, padding):
+def _mdc_cf_fwd(x, w_off, b_off, w_mod, b_mod, weight, bias, padding, ncand,
+                ncand_y):
     return (modulated_deform_conv2d_cf(x, w_off, b_off, w_mod, b_mod, weight,
-                                       bias, padding),
+                                       bias, padding, ncand, ncand_y),
             (x, w_off, b_off, w_mod, b_mod, weight, bias))
 
 
-def _mdc_cf_bwd(padding, res, g):
+def _mdc_cf_bwd(padding, ncand, ncand_y, res, g):
     x_cf, *rest = res
     x = jnp.transpose(x_cf, (0, 2, 3, 1))
     _, vjp = jax.vjp(lambda *a: _mdc_reference(*a, padding), x, *rest)
