@@ -23,6 +23,9 @@ REFERENCE_FPS = 12.1
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from devis_tpu.config import get_cfg_defaults
     from devis_tpu.models import build_model
