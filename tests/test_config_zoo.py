@@ -42,16 +42,20 @@ def test_zoo_mirrors_reference():
     (18/18 parity; reference configs/)."""
     ref_names = {os.path.basename(p) for p in REFERENCE_ZOO}
     our_names = {os.path.basename(p) for p in ZOO}
-    # our renamed ablation files keep the ablation number prefix
-    missing = []
-    for name in ref_names:
-        stem = name.split("_")[1] if name.startswith("devis_ablation") else None
-        if name in our_names:
-            continue
-        if stem and any(o.startswith(f"devis_{stem}") for o in our_names):
-            continue
-        missing.append(name)
+    missing = sorted(ref_names - our_names)
     assert not missing, missing
+
+
+@pytest.mark.parametrize(
+    "ref_path", REFERENCE_ZOO,
+    ids=[os.path.basename(p) for p in REFERENCE_ZOO])
+def test_zoo_value_parity_with_reference(ref_path):
+    """Same-named zoo configs resolve to the SAME cfg values as the reference
+    YAMLs (parity modulo comments/whitespace) — guards hyperparameter drift."""
+    rel = os.path.relpath(ref_path, "/root/reference")
+    ours = os.path.join(REPO, rel)
+    assert os.path.exists(ours), f"missing zoo mirror for {rel}"
+    assert _load(ours).dump() == _load(ref_path).dump()
 
 
 @pytest.mark.parametrize("path", REFERENCE_ZOO,
