@@ -125,11 +125,12 @@ def main(argv=None):
     T = cfg.MODEL.DEVIS.NUM_FRAMES if is_vis else 1
     dummy_imgs = jnp.zeros((T if is_vis else 2, 64, 64, 3), jnp.float32)
     dummy_mask = jnp.zeros(dummy_imgs.shape[:3], bool)
-    from .ops.ms_deform_attn import force_xla_ops
-    with force_xla_ops():      # CPU-lowered trace must not touch Pallas
-        variables = jax.jit(model.init, static_argnames=("train",),
-                            backend="cpu")(jax.random.PRNGKey(cfg.SEED),
-                                           dummy_imgs, dummy_mask, train=False)
+    # CPU-lowered trace must not touch Pallas: init on an explicit impl='xla'
+    # template twin (identical param tree by construction).
+    init_model = build_model(num_classes=num_classes, cfg=cfg, impl="xla")
+    variables = jax.jit(init_model.init, static_argnames=("train",),
+                        backend="cpu")(jax.random.PRNGKey(cfg.SEED),
+                                       dummy_imgs, dummy_mask, train=False)
     variables = load_initial_weights(cfg, model, variables)
     # The CPU-side init leaves the params CPU-committed, and jit follows
     # committed inputs — move them to the default (accelerator) device so
@@ -146,7 +147,9 @@ def main(argv=None):
                 out = inference_vis(tracker, dataset_val,
                                     output_dir=os.path.join(
                                         output_dir, cfg.TEST.SAVE_PATH + tag),
-                                    viz_path=cfg.TEST.VIZ.OUT_VIZ_PATH or None)
+                                    selected_videos=(
+                                        cfg.TEST.VIZ.VIDEO_NAMES.split(",")
+                                        if cfg.TEST.VIZ.VIDEO_NAMES else None))
                 if "eval" in out:
                     print(tag, json.dumps({k: v for k, v in out["eval"].items()
                                            if isinstance(v, float)}))

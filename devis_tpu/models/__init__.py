@@ -48,7 +48,14 @@ def build_backbone(cfg, dtype=jnp.float32):
     return backbone, ResNet.num_channels(name)
 
 
-def build_model(num_classes: int, cfg):
+def build_model(num_classes: int, cfg, impl: str = None):
+    """`impl` overrides cfg.TPU.MSDA_IMPL for every op dispatch in the model
+    ('auto' | 'pallas' | 'xla'). Pass impl='xla' to build a template twin for
+    CPU-lowered traces (parameter init): the param tree is identical by
+    construction (the projection-fused Pallas paths keep checkpoint-identical
+    params), so variables init'd on the XLA twin apply to the Pallas model."""
+    if impl is None:
+        impl = cfg.TPU.MSDA_IMPL
     dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     backbone, num_channels = build_backbone(cfg, dtype)
     position_encoding = build_position_encoding(cfg)
@@ -65,7 +72,7 @@ def build_model(num_classes: int, cfg):
         dropout=cfg.MODEL.DROPOUT,
         enc_n_points=cfg.MODEL.TRANSFORMER.ENC_N_POINTS,
         dec_n_points=cfg.MODEL.TRANSFORMER.DEC_N_POINTS,
-        impl=cfg.TPU.MSDA_IMPL)
+        impl=impl)
     if is_vis:
         da = cfg.MODEL.DEVIS.DEFORMABLE_ATTENTION
         transformer_kwargs.update(
@@ -102,6 +109,7 @@ def build_model(num_classes: int, cfg):
             focal_loss=cfg.MODEL.LOSS.FOCAL_LOSS,
             add_3d_conv_head=cfg.MODEL.MASK_HEAD.DEVIS.CONV_HEAD_3D,
             band_ncand=tuple(cfg.TPU.MASKHEAD_BAND_NCAND),
+            impl=impl,
             dtype=dtype)
 
     if cfg.MODEL.MASK_ON:
@@ -115,5 +123,6 @@ def build_model(num_classes: int, cfg):
             num_out=cfg.TEST.NUM_OUT,
             focal_loss=cfg.MODEL.LOSS.FOCAL_LOSS,
             band_ncand=tuple(cfg.TPU.MASKHEAD_BAND_NCAND),
+            impl=impl,
             dtype=dtype)
     return detr

@@ -56,6 +56,7 @@ class DeVIS(nn.Module):
     focal_loss: bool = True
     add_3d_conv_head: bool = False
     band_ncand: Tuple[int, int] = (4, 3)
+    impl: str = "auto"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -73,6 +74,7 @@ class DeVIS(nn.Module):
                                       out_layer=not self.add_3d_conv_head,
                                       expand_mode="tile",
                                       band_ncand=self.band_ncand,
+                                      impl=self.impl,
                                       dtype=self.dtype)
         if self.add_3d_conv_head:
             self.conv_head_3d = Conv3DHead(dtype=self.dtype)

@@ -61,6 +61,7 @@ class ModulatedDeformableConv(nn.Module):
     kernel: int = 3
     padding: int = 1
     band_ncand: Tuple[int, int] = (4, 4)   # banded-kernel window (x, y)
+    impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -84,7 +85,7 @@ class ModulatedDeformableConv(nn.Module):
                 x, w_off.astype(dt), b_off.astype(dt), w_mod.astype(dt),
                 b_mod.astype(dt), weight.astype(x.dtype),
                 bias.astype(x.dtype), self.padding, nc_x, nc_y)
-        if resolve_impl("auto") == "pallas":
+        if resolve_impl(self.impl) == "pallas":
             return modulated_deform_conv2d(
                 x, w_off.astype(dt), b_off.astype(dt), w_mod.astype(dt),
                 b_mod.astype(dt), weight.astype(x.dtype),
@@ -196,6 +197,7 @@ class MaskHeadConv(nn.Module):
     channel_first_spine: Optional[bool] = None  # None → auto (CF on the
                                   # Pallas/deformable path; see __call__)
     band_ncand: Tuple[int, int] = (4, 3)  # banded DCNv2 window (x, y)
+    impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -213,11 +215,13 @@ class MaskHeadConv(nn.Module):
         from ..ops.ms_deform_attn import resolve_impl
         cf = self.channel_first_spine
         if cf is None:
-            cf = self.use_deformable_conv and resolve_impl("auto") == "pallas"
+            cf = (self.use_deformable_conv
+                  and resolve_impl(self.impl) == "pallas")
         cf = cf and self.use_deformable_conv
         if self.use_deformable_conv:
             conv = functools.partial(ModulatedDeformableConv,
-                                     band_ncand=self.band_ncand)
+                                     band_ncand=self.band_ncand,
+                                     impl=self.impl)
         else:
             conv = PlainConv
         num_levels = len(self.fpn_dims) + 1
@@ -331,6 +335,7 @@ class DeformableDETRSegm(nn.Module):
     num_out: int = 100
     focal_loss: bool = True
     band_ncand: Tuple[int, int] = (4, 3)
+    impl: str = "auto"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -346,6 +351,7 @@ class DeformableDETRSegm(nn.Module):
                                       self.use_deformable_conv,
                                       num_att_levels=len(self.att_maps_used_res),
                                       band_ncand=self.band_ncand,
+                                      impl=self.impl,
                                       dtype=self.dtype)
 
     def _select_features(self, inter):

@@ -35,7 +35,6 @@ extra pyramid levels (the reference's level-stacking trick,
 """
 from __future__ import annotations
 
-import contextlib
 import functools
 from typing import Sequence, Tuple
 
@@ -57,42 +56,18 @@ def level_start_index(spatial_shapes: Shapes) -> Tuple[int, ...]:
     return tuple(starts)
 
 
-_FORCE_XLA = False
-
-
-@contextlib.contextmanager
-def force_xla_ops():
-    """Resolve every `impl='auto'` op dispatch to the XLA backend while
-    active. Needed when tracing for a non-default device (e.g. parameter
-    init jitted onto CPU while the default backend is TPU): the Pallas
-    kernels pick interpret mode from the DEFAULT backend at trace time, so
-    they must be bypassed when the computation is lowered for CPU.
-
-    Caveat: the flag is read at TRACE time, not call time. A user function
-    first jitted inside this context bakes ``impl='xla'`` into its jit cache
-    entry and silently reuses it for later same-shape calls outside the
-    context (and vice versa). Wrap only the ``jit``/``init`` call that must
-    lower for CPU, and don't share jitted callables across the boundary; the
-    flag is also process-global and not thread-safe. Model code that needs a
-    per-call choice should pass ``impl=`` explicitly instead."""
-    global _FORCE_XLA
-    prev = _FORCE_XLA
-    _FORCE_XLA = True
-    try:
-        yield
-    finally:
-        _FORCE_XLA = prev
-
-
 def resolve_impl(impl: str) -> str:
     """'auto' → the Pallas kernel on TPU (XLA's serial row-gather is the
-    model bottleneck there), plain XLA gathers elsewhere or under
-    `force_xla_ops`."""
+    model bottleneck there), plain XLA gathers elsewhere.
+
+    The resolution is a TRACE-time choice keyed on the DEFAULT backend.
+    Computations lowered for a non-default device (e.g. parameter init
+    jitted onto CPU while the default backend is TPU) must not rely on
+    'auto': build the model with an explicit ``impl='xla'``
+    (`build_model(..., impl='xla')`) for such traces."""
     if impl != "auto":
         return impl
-    if _FORCE_XLA or jax.default_backend() != "tpu":
-        return "xla"
-    return "pallas"
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 def ms_deform_attn(value: jnp.ndarray,

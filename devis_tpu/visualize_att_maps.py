@@ -61,11 +61,13 @@ def main(argv=None):
         images[:, :h, :w] = frames
         pad_mask[:, :h, :w] = False
         if variables is None:
-            from .ops.ms_deform_attn import force_xla_ops
-            with force_xla_ops():  # CPU-lowered trace must not touch Pallas
-                variables = jax.jit(model.init, backend="cpu")(
-                    jax.random.PRNGKey(cfg.SEED), jnp.asarray(images),
-                    jnp.asarray(pad_mask), train=False)
+            # CPU-lowered trace must not touch Pallas: init on an explicit
+            # impl='xla' template twin (identical param tree).
+            init_model = build_model(num_classes=num_classes, cfg=cfg,
+                                     impl="xla")
+            variables = jax.jit(init_model.init, backend="cpu")(
+                jax.random.PRNGKey(cfg.SEED), jnp.asarray(images),
+                jnp.asarray(pad_mask), train=False)
             variables = load_initial_weights(cfg, model, variables)
         (out, res), inter = model.apply(
             variables, jnp.asarray(images), jnp.asarray(pad_mask),
