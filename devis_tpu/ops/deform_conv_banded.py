@@ -473,3 +473,72 @@ def deform_conv2d_banded_fused(x, w_off, b_off, w_mod, b_mod, weight, bias,
                                             channel_first,
                                             ncand if ncand_y is None
                                             else ncand_y)
+
+
+# ---------------------------------------------------------------------------
+# Coverage diagnostics
+# ---------------------------------------------------------------------------
+
+def band_coverage_report(x, w_off, b_off, w_mod, b_mod, padding: int = 1,
+                         ncand: int = 4, ncand_y=None, max_base: int = 8,
+                         channel_first: bool = False):
+    """Quantifies the banded approximation for one DCNv2 layer: the
+    modulation-weighted fraction of bilinear tap mass the candidate window
+    covers, given the layer's input and field-conv weights.
+
+    A tap with residual offset r (y: Δy − base_k; x: Δx) splits its bilinear
+    mass between floor(r) (weight 1−frac) and floor(r)+1 (weight frac); a
+    neighbour outside the candidate window [−lo, ncand−1−lo] is dropped by
+    the kernel (module docstring: "taps beyond the window drop"). The base
+    replicates the fused kernel's channel-mean rebase exactly.
+
+    Returns a dict of floats:
+      covered_mass   — Σ m_k·(covered bilinear fraction) / Σ m_k
+      exact_tap_frac — fraction of (pixel, position) taps fully in-band
+      p99_resid_y/x  — 99th percentile |residual| per axis
+      max_resid_y/x  — worst-case |residual| per axis
+    """
+    import numpy as np
+
+    from .deform_conv import conv2d_nhwc
+
+    if channel_first:
+        x = jnp.transpose(x, (0, 2, 3, 1))
+    K = w_off.shape[0]
+    KK = K * K
+    ncand_y = ncand if ncand_y is None else ncand_y
+    f32 = jnp.float32
+
+    offset = conv2d_nhwc(x, w_off.astype(x.dtype), b_off.astype(x.dtype),
+                         padding).astype(f32)               # (B,H,W,2KK)
+    mod = 2.0 * jax.nn.sigmoid(
+        conv2d_nhwc(x, w_mod.astype(x.dtype), b_mod.astype(x.dtype),
+                    padding).astype(f32))                   # (B,H,W,KK)
+
+    # fused-kernel base: channel-mean rebase (see _deform_conv2d_banded_fused_impl)
+    x_mean = jnp.mean(x.astype(f32), axis=(1, 2))           # (B, Cin)
+    offy_mean = (x_mean @ w_off.astype(f32).sum(axis=(0, 1))[:, 0::2]
+                 ) + b_off[0::2].astype(f32)                # (B, KK)
+    base = jnp.clip(jnp.round(offy_mean), -max_base, max_base)
+
+    ry = offset[..., 0::2] - base[:, None, None, :]          # (B,H,W,KK)
+    rx = offset[..., 1::2]
+
+    def axis_cover(r, nc):
+        lo = (nc - 1) // 2
+        fl = jnp.floor(r)
+        frac = r - fl
+        in_w = lambda v: ((v >= -lo) & (v <= nc - 1 - lo)).astype(f32)
+        return (1.0 - frac) * in_w(fl) + frac * in_w(fl + 1)
+
+    cover = axis_cover(ry, ncand_y) * axis_cover(rx, ncand)
+    total = jnp.sum(mod)
+    rep = {
+        "covered_mass": float(jnp.sum(mod * cover) / jnp.maximum(total, 1e-9)),
+        "exact_tap_frac": float(jnp.mean((cover >= 1.0 - 1e-6))),
+        "p99_resid_y": float(jnp.percentile(jnp.abs(ry), 99)),
+        "p99_resid_x": float(jnp.percentile(jnp.abs(rx), 99)),
+        "max_resid_y": float(jnp.max(jnp.abs(ry))),
+        "max_resid_x": float(jnp.max(jnp.abs(rx))),
+    }
+    return rep
