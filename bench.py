@@ -22,6 +22,16 @@ T, STRIDE = 6, 4
 H, W = 360, 640          # shorter-side-360 eval bucket (INPUT.MIN_SIZE_TEST)
 
 
+_T0 = time.perf_counter()
+
+
+def _mark(msg: str):
+    """Phase timestamps on stderr (driver parses only the stdout JSON)."""
+    import sys
+    print(f"# bench +{time.perf_counter() - _T0:6.1f}s {msg}",
+          file=sys.stderr, flush=True)
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -52,12 +62,14 @@ def main():
     imgs = jnp.asarray(rs.rand(T, H, W, 3), jnp.float32)
     mask = jnp.zeros((T, H, W), bool)
 
+    _mark("init params (CPU)")
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         variables = jax.jit(model.init, backend="cpu")(
             jax.random.PRNGKey(0), imgs, mask, train=False)
 
     dev = jax.devices()[0]
     variables, imgs, mask = jax.device_put((variables, imgs, mask), dev)
+    _mark("params on device; compiling device step")
 
     @jax.jit
     def step(v, images, pad_mask):
@@ -71,6 +83,7 @@ def main():
 
     imgs, res = step(variables, imgs, mask)               # compile + warm
     float(res["scores"][0, 0])
+    _mark("device step compiled; timing chain")
     n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
@@ -78,6 +91,7 @@ def main():
     float(res["scores"][0, 0])                            # force completion
     dt = (time.perf_counter() - t0) / n_iter
     fps = STRIDE / dt
+    _mark(f"device chain done ({dt * 1e3:.0f} ms/clip); e2e corpus")
 
     # Honest end-to-end number: the REAL pipeline (model + tracker + RLE)
     # over synthetic videos, frames / (inference + tracking) exactly like the
@@ -85,31 +99,43 @@ def main():
     # hidden behind the device forward.
     e2e = None
     try:
-        e2e = round(_e2e_fps(cfg, model, variables), 2)
+        e2e = _e2e_fps(cfg, model, variables)
     except Exception as exc:                               # pragma: no cover
         print(f"# e2e bench skipped: {exc!r}")
     rec = {"metric": "yt19_r50_clip_inference_fps",
            "value": round(fps, 2), "unit": "frames/s",
            "vs_baseline": round(fps / BASELINE_FPS, 3)}
     if e2e is not None:
-        rec["e2e_fps"] = e2e
-        rec["e2e_vs_baseline"] = round(e2e / BASELINE_FPS, 3)
+        rec["e2e_fps"] = round(e2e["fps"], 2)
+        rec["e2e_vs_baseline"] = round(e2e["fps"] / BASELINE_FPS, 3)
+        rec["e2e_wait_s"] = e2e["wait_s"]       # device/tunnel result wait
+        rec["e2e_stitch_s"] = e2e["stitch_s"]   # host stitching
     print(json.dumps(rec))
 
 
-def _e2e_fps(cfg, model, variables) -> float:
-    """frames / (inference+tracking) over synthetic videos (real pipeline)."""
+def _e2e_fps(cfg, model, variables) -> dict:
+    """frames / (inference+tracking) over synthetic videos (real pipeline).
+
+    Corpus: 2 canvas buckets (landscape 360×640 + portrait-resized 480×320
+    video) and 8 instances/video so the 20-trajectory stitch cost is
+    representative. Returns fps plus the timed-path split."""
     from devis_tpu.datasets.synthetic import SyntheticVISValDataset
     from devis_tpu.inference import build_tracker, inference_vis
 
     dataset = SyntheticVISValDataset(
-        num_frames=T, stride=STRIDE, n_videos=3, video_len=36,
-        size=(360, 640), min_size=cfg.INPUT.MIN_SIZE_TEST,
+        num_frames=T, stride=STRIDE, n_videos=4, video_len=36,
+        sizes=[(360, 640), (480, 320)], n_inst=8,
+        min_size=cfg.INPUT.MIN_SIZE_TEST,
         max_size=cfg.INPUT.MAX_SIZE_TEST)
     tracker = build_tracker(cfg, model, variables)
     inference_vis(tracker, dataset, verbose=False)         # compile + warm
+    _mark("e2e warm pass done; timed pass")
+    tracker.wait_time = tracker.stitch_time = 0.0
     out = inference_vis(tracker, dataset, verbose=False)
-    return float(out["fps"])
+    _mark("e2e timed pass done")
+    return {"fps": float(out["fps"]),
+            "wait_s": round(tracker.wait_time, 2),
+            "stitch_s": round(tracker.stitch_time, 2)}
 
 
 if __name__ == "__main__":

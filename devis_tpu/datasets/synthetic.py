@@ -145,19 +145,30 @@ class _SyntheticVideoClips(VideoClips):
             frames.append(self.transform(img))
         return np.stack(frames)
 
+    def read_frame(self, t: int) -> np.ndarray:
+        img, _ = self.synthetic_video.render(t)
+        return img
+
 
 class SyntheticVISValDataset:
     """Val-style dataset with in-memory YouTube-VIS GT for TrackMAP."""
 
     def __init__(self, num_frames: int = 6, stride: int = 4, n_videos: int = 3,
                  video_len: int = 12, size=(180, 320), min_size: int = 360,
-                 max_size: int = 640, seed: int = 0):
+                 max_size: int = 640, seed: int = 0, sizes=None,
+                 n_inst: int = 3):
+        """`sizes`: optional per-video (h, w) list cycled over the videos —
+        mixed orientations exercise several eval canvas buckets; `n_inst`
+        instances per video sizes the stitching problem."""
         self.max_clip_length = num_frames
         self.overlap_window = num_frames - stride
         self.has_gt = True
         transform = ValTransform(min_size, max_size, normalize=False)
-        self.synthetic_videos = [SyntheticVideo(i + 1, video_len, size, seed=seed)
-                                 for i in range(n_videos)]
+        sizes = list(sizes) if sizes else [size]
+        self.synthetic_videos = [
+            SyntheticVideo(i + 1, video_len, sizes[i % len(sizes)],
+                           n_inst=n_inst, seed=seed)
+            for i in range(n_videos)]
         self.videos = []
         for v in self.synthetic_videos:
             idxs = list(range(v.n_frames))

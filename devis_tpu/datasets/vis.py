@@ -163,6 +163,21 @@ class VideoClips:
     def __len__(self):
         return len(self.video_clips)
 
+    @property
+    def video_name(self) -> str:
+        """YT-VIS folder name of this video (file_names are
+        '<hash>/00000.jpg'; reference viz_utils.py:154)."""
+        first = self.file_names[0]
+        return first.split("/")[0] if "/" in first else str(self.video_id)
+
+    def read_frame(self, t: int) -> np.ndarray:
+        """Original-resolution RGB uint8 frame `t` (visualization)."""
+        img = cv2.imread(os.path.join(self.images_folder, self.file_names[t]),
+                         cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(self.file_names[t])
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
     def load_clip(self, idx: int) -> np.ndarray:
         """(T, H, W, 3) frames of clip `idx` — normalized f32, or raw uint8
         when the transform defers normalization to the device."""

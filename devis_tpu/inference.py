@@ -99,6 +99,27 @@ class VISInferFn:
 
         self._fwd_raw = jax.jit(functools.partial(_run, raw=True))
         self._fwd_norm = jax.jit(functools.partial(_run, raw=False))
+        # Pack BOTH output leaves into ONE uint8 buffer on device: each
+        # fetched leaf is its own synchronous round trip through the device
+        # tunnel (~100 ms fixed cost each, measured in docs/PERFORMANCE.md
+        # §Pipeline), and the tunnel is bandwidth-bound (~7 MiB/s) — the
+        # mask logits dominate the payload, so they ship as float8_e4m3
+        # (1 B/px, ~1.7 → 0.9 MB/clip for the YT-19 R50 eval canvas).
+        # f8 is the RIGHT quantizer for mask logits: resolution is finest
+        # near 0 (denormals reach 2^-9), i.e. exactly at the p=0.5 decision
+        # boundary the RLE threshold uses, and coarse only where the sigmoid
+        # has saturated (|logit|≳8 ⇒ |p-{0,1}|<4e-4) — so thresholding is
+        # sign-exact and soft-IoU stitching sees <1.3% relative prob error.
+        # The small per-trajectory leaf stays f16 (boxes/scores normalized
+        # in [0,1]: ≤0.4 px at 640 px; int labels/gather exact below 2^11).
+        def _pack(r):
+            m8 = jax.lax.bitcast_convert_type(
+                r["masks"].astype(jnp.float8_e4m3fn), jnp.uint8)
+            s8 = jax.lax.bitcast_convert_type(
+                r["small"].astype(jnp.float16), jnp.uint8)
+            return jnp.concatenate([m8.reshape(-1), s8.reshape(-1)])
+
+        self._pack = jax.jit(_pack)
 
     # -- pipeline stages (Tracker overlaps them on separate threads) --------
     def prepare(self, video, clip_idx: int):
@@ -114,24 +135,43 @@ class VISInferFn:
         clip_length = T if real_len is None or real_len >= T else real_len
         return images, (h, w), clip_length
 
-    def run(self, prepared) -> Dict[str, np.ndarray]:
-        """Device stage: dispatch the jitted forward and fetch results."""
+    def dispatch(self, prepared):
+        """Dispatch stage: upload + enqueue the jitted forward (async — XLA
+        executes in the background; nothing blocks here). Runs on its own
+        pipeline thread so the device computes clip i+1 while clip i's
+        outputs still stream back through the tunnel."""
         images, (h, w), clip_length = prepared
         fwd = self._fwd_raw if images.dtype == np.uint8 else self._fwd_norm
         res = fwd(self.variables, jnp.asarray(images),
                   jnp.asarray([h, w], np.int32), jnp.asarray(clip_length))
-        res = jax.device_get(res)
+        flat = self._pack(res)
+        return flat, res["masks"].shape, res["small"].shape, (h, w)
+
+    def fetch(self, dispatched) -> Dict[str, np.ndarray]:
+        """Fetch stage: block on the device→host transfer (ONE leaf = one
+        tunnel round trip) and adapt outputs to the Tracker contract.
+        Mask logits stay float8 host-side (`SmallMask` upcasts lazily)."""
+        import ml_dtypes
+        flat, mshape, sshape, (h, w) = dispatched
+        flat = np.asarray(jax.device_get(flat))
+        n_mask = int(np.prod(mshape))
+        masks = flat[:n_mask].view(ml_dtypes.float8_e4m3fn).reshape(mshape)
+        small = (flat[n_mask:].view(np.float16).reshape(sshape)
+                 .astype(np.float32))
         # Predictions are normalized to the UN-padded image (the valid-ratio
         # machinery, transformer.py:258) — no canvas rescale needed.
         st = self.mask_stride
         hv = max(1, round(h / st))
         wv = max(1, round(w / st))
-        small = res["small"]
         return {"scores": small[..., 4], "labels": small[0, :, 5].astype(np.int32),
                 "boxes": small[..., :4], "center_points": small[..., :2],
-                "mask_logits": res["masks"],
+                "mask_logits": masks,
                 "mask_gather": small[0, :, 6].astype(np.int32),
                 "valid_hw": (hv, wv)}
+
+    def run(self, prepared) -> Dict[str, np.ndarray]:
+        """Device stage (serial form): dispatch + fetch."""
+        return self.fetch(self.dispatch(prepared))
 
     def __call__(self, video, clip_idx: int) -> Dict[str, np.ndarray]:
         return self.run(self.prepare(video, clip_idx))
@@ -157,15 +197,22 @@ def build_tracker(cfg, model, variables) -> Tracker:
         track_min_detections=ct.MIN_DETECTIONS,
         final_class_policy=ct.FINAL_CLASS_POLICY,
         final_score_policy=ct.FINAL_SCORE_POLICY)
-    return Tracker(infer_fn, matcher, tracker_cfg, T, overlap)
+    visualization_cfg = dict(
+        out_viz_path=cfg.TEST.VIZ.OUT_VIZ_PATH,
+        save_clip_viz=cfg.TEST.VIZ.SAVE_CLIP_VIZ,
+        merge_tracks=cfg.TEST.VIZ.SAVE_MERGED_TRACKS)
+    return Tracker(infer_fn, matcher, tracker_cfg, T, overlap,
+                   visualization_cfg=visualization_cfg)
 
 
 def inference_vis(tracker: Tracker, dataset, output_dir: Optional[str] = None,
-                  verbose: bool = True, viz_path: Optional[str] = None) -> Dict:
+                  verbose: bool = True,
+                  selected_videos: Optional[List[str]] = None) -> Dict:
     """Per-video tracking over the val set (reference engine.py:206-262).
     Returns {'results': [...], 'fps': float [, 'eval': TrackMAP summary]}.
-    `viz_path` renders merged-track overlays per video
-    (TEST.VIZ.OUT_VIZ_PATH, reference tracker.py:450-458).
+    `selected_videos` restricts the loop to the named videos
+    (TEST.VIZ.VIDEO_NAMES, reference engine.py:218 — visualization runs);
+    track overlays themselves render inside the Tracker per TEST.VIZ.
 
     Multi-host: each process tracks an interleaved, padded shard of videos
     (DistributedSampler semantics); results are all-gathered and de-duplicated
@@ -181,16 +228,12 @@ def inference_vis(tracker: Tracker, dataset, output_dir: Optional[str] = None,
     times: List[float] = []
     for j, i in enumerate(my_videos):
         video = dataset[i]
+        if selected_videos and getattr(video, "video_name",
+                                       None) not in selected_videos:
+            continue
         t0 = time.time()
         video_results = tracker(video, all_times=times)
         all_results.extend(video_results)
-        if viz_path:
-            from .util.visualization import save_video_visualization
-            save_video_visualization(video, video_results,
-                                     os.path.join(viz_path,
-                                                  str(video.video_id)),
-                                     cat_names=getattr(dataset, "cat_names",
-                                                       None))
         if verbose:
             print(f"video {j + 1}/{len(my_videos)} "
                   f"({time.time() - t0:.2f}s)", flush=True)

@@ -15,6 +15,7 @@ import numpy as np
 from scipy.optimize import linear_sum_assignment
 
 from ..evaluation import rle as rle_lib
+from .track import mask_probs
 
 
 class HungarianInferenceMatcher:
@@ -82,8 +83,8 @@ class HungarianInferenceMatcher:
 
     @staticmethod
     def _soft_track_iou(masks1, masks2) -> float:
-        m1 = np.stack([np.asarray(m) for m in masks1])
-        m2 = np.stack([np.asarray(m) for m in masks2])
+        m1 = np.stack([mask_probs(m) for m in masks1])
+        m2 = np.stack([mask_probs(m) for m in masks2])
         return rle_lib.soft_iou(m1, m2)
 
     def compute_volumetric_iou_cost(self, tracks1: List, tracks2: List) -> np.ndarray:
@@ -109,17 +110,16 @@ class HungarianInferenceMatcher:
     @staticmethod
     def _soft_track_iou_batch(m1: List, m2: List):
         """All-pairs volumetric soft IoU in one BLAS matmul: per track flatten
-        the overlap-window prob masks to a vector f; inter[i,j] = f1_i·f2_j
-        and union = Σf1_i + Σf2_j − inter (identical math to `soft_iou`).
-        Returns None when any mask is not a uniform-shape prob array (e.g.
-        already RLE-frozen) — callers fall back to the pairwise route."""
+        the overlap-window prob masks (at model /4 resolution for `SmallMask`
+        entries) to a vector f; inter[i,j] = f1_i·f2_j and union = Σf1_i +
+        Σf2_j − inter (identical math to `soft_iou`). Returns None when any
+        mask is not a uniform-shape prob array (e.g. already RLE-frozen) —
+        callers fall back to the pairwise route."""
         try:
             F1 = np.stack([np.concatenate(
-                [np.asarray(m, np.float32).ravel() for m in ms])
-                for ms in m1])
+                [mask_probs(m).ravel() for m in ms]) for ms in m1])
             F2 = np.stack([np.concatenate(
-                [np.asarray(m, np.float32).ravel() for m in ms])
-                for ms in m2])
+                [mask_probs(m).ravel() for m in ms]) for ms in m2])
         except (ValueError, TypeError):
             return None
         if F1.shape[1] != F2.shape[1]:
@@ -139,7 +139,8 @@ class HungarianInferenceMatcher:
                 m = np.zeros((len(a), len(b)))
                 for i in range(len(a)):
                     for j in range(len(b)):
-                        m[i, j] = rle_lib.soft_iou(np.asarray(a[i]), np.asarray(b[j]))
+                        m[i, j] = rle_lib.soft_iou(mask_probs(a[i]),
+                                                   mask_probs(b[j]))
             per_t.append(m)
         return np.stack(per_t).mean(0)
 

@@ -3,12 +3,22 @@
 Behavioral equivalent of the reference's `Track` (`src/models/tracker.py:13-216`):
 per-frame lists of scores/masks/categories/boxes/centroids plus validity flags;
 overlap frames keep the higher-scoring detection on append; masks leaving the
-stitching overlap window are immediately RLE-encoded to free memory
-(reference L129-138). Masks are numpy probability maps while inside the
-overlap window and RLE dicts once frozen.
+stitching overlap window are RLE-encoded (reference L129-138).
+
+TPU-first difference: a mask entry can be, besides an RLE dict or a full-res
+probability map, a `SmallMask` — the /4-resolution model logits plus the
+video size. Soft-IoU stitching reads its `probs` at /4 directly (the soft
+IoU is rank-order robust to the downsampling, and the reference's full-res
+sigmoid+resize per frame dominated host time), and the reference-exact
+full-resolution RLE (bilinear-resize the LOGITS, threshold at logit>0 ⇔
+p>0.5, reference devis_segmentation.py:119-133 + tracker.py:239-260) is
+materialized lazily — only for frames that actually survive into a track,
+optionally on a background encode pool (a `concurrent.futures.Future` then
+stands in until resolved).
 """
 from __future__ import annotations
 
+from concurrent.futures import Future
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -18,9 +28,49 @@ from ..evaluation import rle as rle_lib
 ATTRS = ("scores", "masks", "categories", "boxes", "centroid_points")
 
 
-def encode_mask(mask: np.ndarray) -> Dict:
-    """Probability mask → RLE at 0.5 threshold (reference L219-223)."""
+class SmallMask:
+    """Deferred full-resolution mask (see module docstring)."""
+    __slots__ = ("logits", "tgt_size", "_probs")
+
+    def __init__(self, logits: np.ndarray, tgt_size):
+        self.logits = logits          # (hv, wv) float8/16/32 at model stride
+        self.tgt_size = tgt_size      # (H, W) original video size
+        self._probs = None
+
+    @property
+    def probs(self) -> np.ndarray:
+        """Sigmoid probabilities at model /4 resolution (soft-IoU input)."""
+        if self._probs is None:
+            x = self.logits.astype(np.float32)
+            self._probs = 1.0 / (1.0 + np.exp(-x))
+        return self._probs
+
+    def to_rle(self) -> Dict:
+        """Reference-exact full-res RLE: bilinear-resize the logits to the
+        video size, threshold at logit>0 (⇔ p>0.5)."""
+        import cv2
+        m = cv2.resize(self.logits.astype(np.float32),
+                       (self.tgt_size[1], self.tgt_size[0]),
+                       interpolation=cv2.INTER_LINEAR)
+        return rle_lib.encode(m > 0.0)
+
+
+def encode_mask(mask) -> Dict:
+    """Any mask form → RLE dict (reference L219-223 thresholds probs at 0.5)."""
+    if isinstance(mask, dict):
+        return mask
+    if isinstance(mask, Future):
+        return mask.result()
+    if isinstance(mask, SmallMask):
+        return mask.to_rle()
     return rle_lib.encode(np.asarray(mask) > 0.5)
+
+
+def mask_probs(mask) -> np.ndarray:
+    """Probability-map view of a mask entry (soft-IoU input)."""
+    if isinstance(mask, SmallMask):
+        return mask.probs
+    return np.asarray(mask, np.float32)
 
 
 class Track:
@@ -36,6 +86,9 @@ class Track:
         self.valid_frames: List[bool] = [True] * track_length
         self.mask_id: Optional[int] = None
         self.last_t = 0
+        # (video_track_id, clip_track_id) per stitch — visualization's
+        # matches.txt (reference tracker.py:27,105)
+        self.matching_ids_record: List = []
 
     def __len__(self):
         return self.length
@@ -99,6 +152,7 @@ class Track:
         """Stitch a matched clip track: overlap frames keep the
         higher-scoring detection, then the new frames are appended
         (reference L103-124)."""
+        self.matching_ids_record.append((self._id, clip_track.get_id()))
         overlap_positions = range(
             self.last_t - t_window - clip_track.start_idx, self.last_t)
         for other_pos, self_pos in enumerate(overlap_positions):
@@ -115,21 +169,26 @@ class Track:
     def update_stride(self, stride: int):
         self.last_t += stride
 
-    def update_stride_and_encode_masks(self, stride: int, overlap_window: int):
+    def update_stride_and_encode_masks(self, stride: int, overlap_window: int,
+                                       encoder=None):
         """Advance the clock; RLE-encode masks leaving the overlap window
-        (reference L129-138)."""
+        (reference L129-138). With an `encoder` executor the full-res
+        resize+RLE runs on background threads (a Future stands in)."""
         for idx in range(self.last_t - overlap_window,
                          self.last_t - overlap_window + stride):
             if 0 <= idx < len(self.masks):
-                if self.masks[idx] is None:
+                m = self.masks[idx]
+                if m is None:
                     self.valid_frames[idx] = False
-                elif not isinstance(self.masks[idx], dict):
-                    self.masks[idx] = encode_mask(self.masks[idx])
+                elif not isinstance(m, (dict, Future)):
+                    self.masks[idx] = (encoder.submit(encode_mask, m)
+                                       if encoder is not None
+                                       else encode_mask(m))
         self.last_t += stride
 
     def encode_all_masks(self):
         for t in range(self.length):
-            if self.masks[t] is not None and not isinstance(self.masks[t], dict):
+            if self.masks[t] is not None:
                 self.masks[t] = encode_mask(self.masks[t])
 
     # -- final results (reference L140-195) ---------------------------------
@@ -137,6 +196,11 @@ class Track:
         for idx, score in enumerate(self.scores):
             if score is not None and score < min_detection_score:
                 self.valid_frames[idx] = False
+
+    def mean_score(self) -> float:
+        """Mean over valid-frame scores (reference L59-63; clip-viz folder
+        naming)."""
+        return self.compute_final_score("mean")
 
     def _valid_scores(self):
         return [s for v, s in zip(self.valid_frames, self.scores) if v and s is not None]

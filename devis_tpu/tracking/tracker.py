@@ -9,10 +9,13 @@ thresholds and formatted for the YouTube-VIS results.json.
 
 TPU-first split of responsibilities: the device step (`infer_fn`) returns
 static-shaped arrays (scores/labels/boxes/centers at top-k, mask logits at /4
-resolution for a static trajectory set). The host crops the padded canvas,
-resizes mask logits to the original video size (cv2, half-pixel bilinear =
-torch align_corners=False), applies sigmoid, and runs all stitching — so the
-TPU is free to run the next clip while the host stitches the previous one.
+resolution for a static trajectory set). The host keeps masks at /4 as
+`SmallMask` wrappers: soft-IoU stitching reads /4 probs directly, and the
+full-resolution resize (cv2, half-pixel bilinear = torch
+align_corners=False) + RLE materializes lazily on a background encode pool,
+only for frames that survive into a track. Loader / dispatch / fetch / host
+run as overlapped pipeline stages (see `__call__`), so the TPU and the
+device tunnel stay busy while the host stitches.
 """
 from __future__ import annotations
 
@@ -20,11 +23,10 @@ import time
 from types import SimpleNamespace
 from typing import Callable, Dict, List, Optional
 
-import cv2
 import numpy as np
 
 from .inference_matcher import HungarianInferenceMatcher
-from .track import Track, encode_mask
+from .track import SmallMask, Track
 
 
 def process_boxes_host(boxes_cxcywh: np.ndarray, tgt_size) -> np.ndarray:
@@ -41,7 +43,8 @@ def process_boxes_host(boxes_cxcywh: np.ndarray, tgt_size) -> np.ndarray:
 
 class Tracker:
     def __init__(self, infer_fn: Callable, hungarian_matcher: HungarianInferenceMatcher,
-                 tracker_cfg: Dict, num_frames: int, overlap_window: int):
+                 tracker_cfg: Dict, num_frames: int, overlap_window: int,
+                 visualization_cfg: Optional[Dict] = None):
         """infer_fn(clip) → dict of numpy arrays with keys
         scores (T, K), labels (K,), boxes (T, K, 4) normalized cxcywh,
         center_points (T, K, 2), mask_logits (Nm, T, h, w) at model stride,
@@ -52,31 +55,33 @@ class Tracker:
         self.cfg = SimpleNamespace(**tracker_cfg)
         self.num_frames = num_frames
         self.overlap_window = overlap_window
+        # TEST.VIZ equivalent (reference models/__init__.py:96-100)
+        self.viz = SimpleNamespace(**{
+            **dict(out_viz_path="", save_clip_viz=False, merge_tracks=False),
+            **(visualization_cfg or {})})
+        # cumulative timed-path split (result-wait vs stitch) for benchmarks
+        self.wait_time = 0.0
+        self.stitch_time = 0.0
 
     # -- mask post-processing (reference L239-260) --------------------------
     def _process_masks(self, start_idx: int, clip_idx: int, is_last: bool,
                        tgt_size, logits: np.ndarray, valid_hw) -> List:
-        """logits: (T, h, w) model-stride mask logits for one trajectory."""
+        """logits: (T, h, w) model-stride mask logits for one trajectory.
+
+        Soft-IoU mode returns `SmallMask` wrappers (zero host work here):
+        the stitcher reads /4 probs and the full-res resize+RLE happens
+        lazily, only for frames that survive into a track. Binary-RLE mode
+        needs exact full-res RLEs at match time, so it materializes them
+        immediately (reference semantics: resize logits, threshold at 0)."""
         T = logits.shape[0]
         hv, wv = valid_hw
         out = []
         for t in range(T):
-            m = logits[t, :hv, :wv].astype(np.float32)
-            m = cv2.resize(m, (tgt_size[1], tgt_size[0]),
-                           interpolation=cv2.INTER_LINEAR)
+            m = SmallMask(logits[t, :hv, :wv], tgt_size)
             if self.matcher.use_binary_mask_iou:
-                freeze = True
-            elif clip_idx == 0:
-                freeze = t < T - self.overlap_window
+                out.append(m.to_rle())
             else:
-                freeze = (self.overlap_window + start_idx <= t
-                          < T - self.overlap_window or t < start_idx)
-            if freeze:
-                # RLE thresholds at p=0.5 ⇔ logit>0 — skip the sigmoid for
-                # frames that freeze immediately (most of each clip)
-                out.append(encode_mask(m > 0.0))
-            else:
-                out.append(1.0 / (1.0 + np.exp(-m)))  # prob: soft-IoU overlap
+                out.append(m)
         return out
 
     def __call__(self, video, all_times: Optional[List] = None):
@@ -90,19 +95,29 @@ class Tracker:
         cats_dict: Dict[int, List[int]] = {}
         num_clips = len(video)
 
-        # Pipeline loader, device, and host: clip i+2's frames load on a
-        # loader thread and clip i+1's forward is dispatched on a device
-        # thread while the host stitches clip i (the TPU runs asynchronously
-        # under the dispatch), hiding data loading and host RLE/matching time
-        # behind device time (SURVEY.md §7 hard part 4; the reference runs
-        # these serially and prefetches only via DataLoader workers,
-        # tracker.py:296-462).
+        # Pipeline loader, device, tunnel, and host as FOUR overlapped
+        # stages: clip i+2's frames load on a loader thread; clip i+1 is
+        # uploaded + dispatched on a dispatch thread (the TPU queues and runs
+        # it while clip i's outputs still stream back); clip i's
+        # device→host fetch blocks only the fetch thread; and the host
+        # stitches clip i−1 meanwhile. Full-res mask RLE runs on a separate
+        # encode pool (lazy `SmallMask` materialization). The steady-state
+        # clip period is max(stage) instead of the serial sum — crucial over
+        # a high-latency device tunnel (SURVEY.md §7 hard part 4; the
+        # reference runs everything serially and prefetches only via
+        # DataLoader workers, tracker.py:296-462).
         from concurrent.futures import ThreadPoolExecutor
-        pool = ThreadPoolExecutor(max_workers=1)
+        pool = ThreadPoolExecutor(max_workers=1)         # fetch stage
+        self._encode_pool = ThreadPoolExecutor(max_workers=2)
         staged = hasattr(self.infer_fn, "prepare") and hasattr(self.infer_fn,
                                                                "run")
+        deep = staged and hasattr(self.infer_fn, "dispatch") \
+            and hasattr(self.infer_fn, "fetch")
         if staged:
-            load_pool = ThreadPoolExecutor(max_workers=1)
+            # 2 loader workers: decode+resize of one clip can exceed the
+            # device clip latency; results are keyed by index so completion
+            # order doesn't matter.
+            load_pool = ThreadPoolExecutor(max_workers=2)
             preps: Dict[int, object] = {}
 
             def ensure_prep(i):
@@ -110,13 +125,34 @@ class Tracker:
                     preps[i] = load_pool.submit(self.infer_fn.prepare,
                                                 video, i)
 
-            def submit(i):
-                ensure_prep(i)
-                fut = preps.pop(i)
-                return pool.submit(lambda: self.infer_fn.run(fut.result()))
+            if deep:
+                disp_pool = ThreadPoolExecutor(max_workers=1)
+                disps: Dict[int, object] = {}
+
+                def ensure_disp(i):
+                    if i not in disps and i < num_clips:
+                        ensure_prep(i)
+                        fut = preps.pop(i)
+                        disps[i] = disp_pool.submit(
+                            lambda f=fut: self.infer_fn.dispatch(f.result()))
+
+                def submit(i):
+                    ensure_disp(i)
+                    fut = disps.pop(i)
+                    return pool.submit(
+                        lambda f=fut: self.infer_fn.fetch(f.result()))
+            else:
+                def submit(i):
+                    ensure_prep(i)
+                    fut = preps.pop(i)
+                    return pool.submit(
+                        lambda f=fut: self.infer_fn.run(f.result()))
 
             ensure_prep(0)
             ensure_prep(1)
+            if deep:
+                ensure_disp(0)
+                ensure_disp(1)       # clip 1 queues on-device behind clip 0
             pending = submit(0)
         else:
             pending = pool.submit(self.infer_fn, video, 0)
@@ -127,10 +163,13 @@ class Tracker:
             if clip_idx + 1 < num_clips:
                 if staged:
                     ensure_prep(clip_idx + 2)
+                    if deep:
+                        ensure_disp(clip_idx + 2)
                     pending = submit(clip_idx + 1)
                 else:
                     pending = pool.submit(self.infer_fn, video, clip_idx + 1)
             times.append(time.time() - t0)
+            self.wait_time += times[-1]
 
             scores = results["scores"][:clip_length]
             labels = results["labels"] + 1                 # category ids 1-based
@@ -158,6 +197,10 @@ class Tracker:
                 track.update(scores[:, i], [cat] * clip_length, boxes[:, i],
                              processed[mid], centers[:, i], mid)
 
+            if self.viz.save_clip_viz and self.viz.out_viz_path:
+                self.visualize_clip_results(video, clip_tracks, clip_idx,
+                                            clip_length)
+
             t1 = time.time()
             if video_tracks is None:
                 # First clip seeds the video tracks (reference L350-363).
@@ -178,7 +221,8 @@ class Tracker:
                                                   self.overlap_window)
                 for tr in video_tracks:
                     tr.update_stride_and_encode_masks(
-                        clip_length - self.overlap_window, self.overlap_window)
+                        clip_length - self.overlap_window, self.overlap_window,
+                        encoder=self._encode_pool)
             else:
                 self._per_class_stitch(video, video_tracks, clip_tracks,
                                        cats_dict, clip_cats,
@@ -186,12 +230,16 @@ class Tracker:
                 track_counter = self._track_counter
                 stride = clip_length - self.overlap_window
                 for tr in video_tracks:
-                    tr.update_stride_and_encode_masks(stride, self.overlap_window)
+                    tr.update_stride_and_encode_masks(stride, self.overlap_window,
+                                                      encoder=self._encode_pool)
             times.append(time.time() - t1)
+            self.stitch_time += times[-1]
 
         pool.shutdown(wait=False)
         if staged:
             load_pool.shutdown(wait=False)
+            if deep:
+                disp_pool.shutdown(wait=False)
         if all_times is not None:
             all_times.append(sum(times))
 
@@ -208,11 +256,46 @@ class Tracker:
                 > self.cfg.track_min_score]
         for tr in video_tracks:
             tr.encode_all_masks()
+        self._encode_pool.shutdown(wait=False)
+
+        if self.viz.out_viz_path:
+            # reference tracker.py:450-458: merged overlays or independent
+            # per-track folders (+ matches.txt) per video
+            from ..util.visualization import (visualize_results_merged,
+                                              visualize_tracks_independently)
+            render = (visualize_results_merged if self.viz.merge_tracks
+                      else visualize_tracks_independently)
+            render(video, video_tracks, self.cfg.final_class_policy,
+                   self.cfg.final_score_policy, self.viz.out_viz_path,
+                   class_names=getattr(video, "cat_names", None))
 
         return [tr.get_formatted_result(video.video_id,
                                         self.cfg.final_class_policy,
                                         self.cfg.final_score_policy)
                 for tr in video_tracks]
+
+    def visualize_clip_results(self, video, clip_tracks, clip_idx: int,
+                               clip_length: int):
+        """Render each sub-clip's surviving tracks to per-track folders
+        (reference tracker.py:262-279): copy, apply the score filters,
+        encode masks, draw."""
+        import copy
+
+        from ..util.visualization import visualize_clips_after_processing
+        shows = copy.deepcopy(clip_tracks)
+        if self.cfg.track_min_detection_score != 0:
+            for tr in shows:
+                tr.filter_frame_detections(self.cfg.track_min_detection_score)
+        shows = [tr for tr in shows if tr.valid(min_detections=1)]
+        if self.cfg.track_min_score != 0:
+            shows = [tr for tr in shows
+                     if tr.mean_score() > self.cfg.track_min_score]
+        for tr in shows:
+            tr.encode_all_masks()
+        visualize_clips_after_processing(
+            clip_idx, video, video.video_clips[clip_idx][:clip_length], shows,
+            out_path=self.viz.out_viz_path,
+            class_names=getattr(video, "cat_names", None))
 
     # -- per-class stitching with kill/spawn (reference L376-427) -----------
     def _per_class_stitch(self, video, video_tracks, clip_tracks, cats_dict,

@@ -25,6 +25,179 @@ def color_for(track_id: int) -> np.ndarray:
     return _COLORS[track_id % len(_COLORS)]
 
 
+def create_color_map(N: int = 256, normalized: bool = False) -> np.ndarray:
+    """PASCAL-VOC style bit-reversal color map (reference
+    viz_utils.py:132-150): color i spreads the low bits of i across the
+    RGB channels' high bits, giving well-separated track colors."""
+    cmap = np.zeros((N, 3), np.float32 if normalized else np.uint8)
+    for i in range(N):
+        r = g = b = 0
+        c = i
+        for j in range(8):
+            r |= ((c >> 0) & 1) << (7 - j)
+            g |= ((c >> 1) & 1) << (7 - j)
+            b |= ((c >> 2) & 1) << (7 - j)
+            c >>= 3
+        cmap[i] = (r, g, b)
+    return cmap / 255.0 if normalized else cmap
+
+
+def _as_binary_mask(mask) -> Optional[np.ndarray]:
+    """Any track mask entry (RLE dict / prob array / SmallMask / Future) →
+    (H, W) bool, or None."""
+    if mask is None:
+        return None
+    from ..tracking.track import encode_mask
+    if not isinstance(mask, dict):
+        mask = encode_mask(mask)      # resolves SmallMask / Future / probs
+    return rle_lib.decode(mask).astype(bool)
+
+
+def _most_left_coordinate(mask: np.ndarray):
+    """Topmost-in-leftmost-column text anchor for label placement when no
+    box is drawn (reference viz_utils.py:12-20)."""
+    cols = np.where(mask.any(axis=0))[0]
+    if len(cols):
+        rows = np.where(mask[:, cols[0]])[0]
+        if len(rows):
+            return int(cols[0]), int(rows[-1])
+    return 0, 0
+
+
+def draw_instance(img: np.ndarray, instance: Dict, cmap: np.ndarray,
+                  class_names: Optional[Dict[int, str]] = None,
+                  mask_alpha: float = 0.7, draw_box: bool = True,
+                  font_size: float = 0.45) -> np.ndarray:
+    """Overlay one instance (mask blend + label + optional box) on a BGR/RGB
+    uint8 frame IN PLACE (cv2 rewrite of the reference's matplotlib
+    `imshow_det_bboxes_for_tracks`, viz_utils.py:30-129). `instance` keys:
+    mask (any track-mask form), score, category_id, instance_id,
+    optionally bbox (xyxy absolute)."""
+    mask = _as_binary_mask(instance.get("mask"))
+    if mask is None:
+        return img
+    color = cmap[1:][instance["instance_id"] % (len(cmap) - 1)].astype(
+        np.float32)
+    img[mask] = ((1.0 - mask_alpha) * img[mask].astype(np.float32)
+                 + mask_alpha * color).astype(img.dtype)
+    cat = int(instance.get("category_id", 0))
+    name = (class_names or {}).get(cat, f"class {cat}")
+    label = f"{name}|{instance.get('score', 0.0):.02f}"
+    bbox = instance.get("bbox")
+    if bbox is not None and draw_box:
+        x0, y0, x1, y1 = np.asarray(bbox).astype(np.int32)[:4]
+        cv2.rectangle(img, (int(x0), int(y0)), (int(x1), int(y1)),
+                      (255, 0, 0), 2)
+        tx, ty = int(x0), int(y0)
+    else:
+        tx, ty = _most_left_coordinate(mask)
+    cv2.putText(img, label, (tx, max(ty, 12)), cv2.FONT_HERSHEY_SIMPLEX,
+                font_size, (255, 255, 255), 1, cv2.LINE_AA)
+    return img
+
+
+def _video_frame_reader(video):
+    """Callable (file_name) → RGB uint8 frame via the video's `read_frame`
+    (disk for YT-VIS videos, in-memory render for synthetic ones)."""
+    index = {name: t for t, name in enumerate(video.file_names)}
+    return lambda name: video.read_frame(index[name])
+
+
+def _video_name(video) -> str:
+    name = getattr(video, "video_name", None)
+    if name:
+        return name
+    first = video.file_names[0]
+    return first.split("/")[0] if "/" in first else str(video.video_id)
+
+
+def _write_rgb(path: str, img: np.ndarray):
+    cv2.imwrite(path, cv2.cvtColor(np.ascontiguousarray(img),
+                                   cv2.COLOR_RGB2BGR))
+
+
+def visualize_clips_after_processing(clip_idx: int, video, frame_names,
+                                     tracks, out_path: str,
+                                     class_names=None) -> None:
+    """Per-clip per-track overlays under
+    `{out}/{video}/clip_results/window_{i}/{score}_track_{id}_id_{mask_id}/`
+    (reference viz_utils.py:153-184)."""
+    cmap = create_color_map()
+    read = _video_frame_reader(video)
+    out_folder = os.path.join(out_path, _video_name(video), "clip_results",
+                              f"window_{clip_idx}")
+    for track in tracks:
+        score_str = f"{track.mean_score() * 100:.2f}".replace(".", "").zfill(4)
+        folder = os.path.join(
+            out_folder, f"{score_str}_track_{track.get_id()}_id_{track.mask_id}")
+        os.makedirs(folder, exist_ok=True)
+        for t, name in enumerate(frame_names):
+            frame = read(name).astype(np.uint8).copy()
+            if t < len(track.masks) and track.masks[t] is not None:
+                draw_instance(frame, {
+                    "mask": track.masks[t], "score": track.scores[t] or 0.0,
+                    "category_id": track.categories[t],
+                    "bbox": track.boxes[t],
+                    "instance_id": track.get_id()}, cmap, class_names)
+            _write_rgb(os.path.join(folder, os.path.basename(name)), frame)
+
+
+def visualize_tracks_independently(video, video_tracks,
+                                   final_class_policy: str,
+                                   final_score_policy: str, out_path: str,
+                                   class_names=None) -> None:
+    """One folder per final track under `{out}/{video}/tracks_results/`,
+    with every video frame overlaid by that track alone plus a
+    `matches.txt` of the clip-stitch matching record
+    (reference viz_utils.py:187-241)."""
+    cmap = create_color_map()
+    read = _video_frame_reader(video)
+    out_folder = os.path.join(out_path, _video_name(video), "tracks_results")
+    for track in video_tracks:
+        final_score = track.compute_final_score(final_score_policy)
+        final_cat = track.compute_final_category(final_class_policy)
+        score_str = f"{final_score * 100:.2f}".replace(".", "").zfill(4)
+        folder = os.path.join(out_folder,
+                              f"{score_str}_track_{track.get_id()}")
+        os.makedirs(folder, exist_ok=True)
+        with open(os.path.join(folder, "matches.txt"), "w") as f:
+            for idx, match in enumerate(track.matching_ids_record):
+                f.write(f"Window_{idx} track_{match[0]} / "
+                        f"Window_{idx + 1} track_{match[1]}\n")
+        for t, name in enumerate(video.file_names):
+            frame = read(name).astype(np.uint8).copy()
+            if track.valid_frames[t] and track.masks[t] is not None:
+                draw_instance(frame, {
+                    "mask": track.masks[t], "score": final_score,
+                    "category_id": final_cat, "bbox": track.boxes[t],
+                    "instance_id": track.get_id()}, cmap, class_names)
+            _write_rgb(os.path.join(folder, os.path.basename(name)), frame)
+
+
+def visualize_results_merged(video, video_tracks, final_class_policy: str,
+                             final_score_policy: str, out_path: str,
+                             class_names=None) -> None:
+    """All final tracks overlaid per frame under `{out}/{video}/`
+    (reference viz_utils.py:244-350 — masks + category label, no boxes)."""
+    cmap = create_color_map(N=15)
+    read = _video_frame_reader(video)
+    out_folder = os.path.join(out_path, _video_name(video))
+    os.makedirs(out_folder, exist_ok=True)
+    for t, name in enumerate(video.file_names):
+        frame = read(name).astype(np.uint8).copy()
+        for track in video_tracks:
+            if not track.valid_frames[t] or track.masks[t] is None:
+                continue
+            draw_instance(frame, {
+                "mask": track.masks[t],
+                "score": track.compute_final_score(final_score_policy),
+                "category_id": track.compute_final_category(
+                    final_class_policy),
+                "instance_id": track.get_id()}, cmap, class_names,
+                mask_alpha=0.55, draw_box=False, font_size=0.6)
+        _write_rgb(os.path.join(out_folder, os.path.basename(name)), frame)
+
+
 def overlay_tracks_on_frame(frame: np.ndarray, results: List[Dict], t: int,
                             cat_names: Optional[Dict[int, str]] = None,
                             alpha: float = 0.45,
