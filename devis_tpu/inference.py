@@ -63,9 +63,12 @@ class VISInferFn:
         self.mask_stride = mask_stride
         from .datasets.transforms import IMAGENET_MEAN, IMAGENET_STD
 
-        def _run(v, images, hw, cl, *, raw: bool):
-            # hw: (2,) int32 valid (h, w) — the pad mask is BUILT on device
-            # from two scalars instead of shipping a (T, Hc, Wc) bool canvas.
+        def _run(v, images, meta, *, raw: bool):
+            # meta: (3,) int32 [h_valid, w_valid, clip_length] — ONE small
+            # upload instead of three (each host→device transfer is its own
+            # ~5 ms round trip through the device tunnel); the pad mask is
+            # BUILT on device from the two scalars instead of shipping a
+            # (T, Hc, Wc) bool canvas.
             T, Hc, Wc = images.shape[:3]
             if raw:                       # uint8 in: imagenet-normalize here
                 img = ((images.astype(jnp.float32) / 255.0
@@ -73,10 +76,11 @@ class VISInferFn:
                        / jnp.asarray(IMAGENET_STD))
             else:
                 img = images
-            pad = ((jnp.arange(Hc)[:, None] >= hw[0])
-                   | (jnp.arange(Wc)[None, :] >= hw[1]))
+            pad = ((jnp.arange(Hc)[:, None] >= meta[0])
+                   | (jnp.arange(Wc)[None, :] >= meta[1]))
             pad = jnp.broadcast_to(pad[None], (T, Hc, Wc))
-            _, res = model.apply(v, img, pad, train=False, clip_length=cl)
+            _, res = model.apply(v, img, pad, train=False,
+                                 clip_length=meta[2])
             # Every fetched leaf is a separate ~5 ms round trip through the
             # device tunnel, so pack the small per-trajectory outputs into
             # ONE f32 array: [boxes(4) | scores(1) | labels(1) | gather(1)]
@@ -94,32 +98,32 @@ class VISInferFn:
                 jnp.broadcast_to(res["mask_gather"].astype(jnp.float32)[
                     None, :, None], (T_, N, 1)),
             ], axis=-1)
-            return {"small": small,
-                    "masks": res["masks"].astype(jnp.float16)}
+            masks = res["masks"].astype(jnp.float16)
+            # Pack BOTH output leaves into ONE uint8 buffer in the SAME
+            # program (a separate pack program would be a second execute
+            # round trip per clip through the device tunnel): each fetched
+            # leaf is its own synchronous round trip (~5-25 ms fixed cost,
+            # measured in docs/PERFORMANCE.md §Pipeline), and the tunnel is
+            # bandwidth-bound (~23 MiB/s D2H) — the mask logits dominate the
+            # payload, so they ship as float8_e4m3 (1 B/px, ~0.9 MiB/clip
+            # for the YT-19 R50 eval canvas).
+            # f8 is the RIGHT quantizer for mask logits: resolution is finest
+            # near 0 (denormals reach 2^-9), i.e. exactly at the p=0.5
+            # decision boundary the RLE threshold uses, and coarse only where
+            # the sigmoid has saturated (|logit|≳8 ⇒ |p-{0,1}|<4e-4) — so
+            # thresholding is sign-exact and soft-IoU stitching sees <1.3%
+            # relative prob error. The small per-trajectory leaf stays f16
+            # (boxes/scores normalized in [0,1]: ≤0.4 px at 640 px; int
+            # labels/gather exact below 2^11).
+            m8 = jax.lax.bitcast_convert_type(
+                masks.astype(jnp.float8_e4m3fn), jnp.uint8)
+            s8 = jax.lax.bitcast_convert_type(
+                small.astype(jnp.float16), jnp.uint8)
+            flat = jnp.concatenate([m8.reshape(-1), s8.reshape(-1)])
+            return {"flat": flat, "masks": masks, "small": small}
 
         self._fwd_raw = jax.jit(functools.partial(_run, raw=True))
         self._fwd_norm = jax.jit(functools.partial(_run, raw=False))
-        # Pack BOTH output leaves into ONE uint8 buffer on device: each
-        # fetched leaf is its own synchronous round trip through the device
-        # tunnel (~100 ms fixed cost each, measured in docs/PERFORMANCE.md
-        # §Pipeline), and the tunnel is bandwidth-bound (~7 MiB/s) — the
-        # mask logits dominate the payload, so they ship as float8_e4m3
-        # (1 B/px, ~1.7 → 0.9 MB/clip for the YT-19 R50 eval canvas).
-        # f8 is the RIGHT quantizer for mask logits: resolution is finest
-        # near 0 (denormals reach 2^-9), i.e. exactly at the p=0.5 decision
-        # boundary the RLE threshold uses, and coarse only where the sigmoid
-        # has saturated (|logit|≳8 ⇒ |p-{0,1}|<4e-4) — so thresholding is
-        # sign-exact and soft-IoU stitching sees <1.3% relative prob error.
-        # The small per-trajectory leaf stays f16 (boxes/scores normalized
-        # in [0,1]: ≤0.4 px at 640 px; int labels/gather exact below 2^11).
-        def _pack(r):
-            m8 = jax.lax.bitcast_convert_type(
-                r["masks"].astype(jnp.float8_e4m3fn), jnp.uint8)
-            s8 = jax.lax.bitcast_convert_type(
-                r["small"].astype(jnp.float16), jnp.uint8)
-            return jnp.concatenate([m8.reshape(-1), s8.reshape(-1)])
-
-        self._pack = jax.jit(_pack)
 
     # -- pipeline stages (Tracker overlaps them on separate threads) --------
     def prepare(self, video, clip_idx: int):
@@ -143,8 +147,15 @@ class VISInferFn:
         images, (h, w), clip_length = prepared
         fwd = self._fwd_raw if images.dtype == np.uint8 else self._fwd_norm
         res = fwd(self.variables, jnp.asarray(images),
-                  jnp.asarray([h, w], np.int32), jnp.asarray(clip_length))
-        flat = self._pack(res)
+                  np.asarray([h, w, clip_length], np.int32))
+        flat = res["flat"]
+        # Non-blocking: enqueue the device→host copy now so the transfer
+        # streams as soon as the forward finishes, instead of starting only
+        # when the fetch thread blocks in device_get.
+        try:
+            flat.copy_to_host_async()
+        except AttributeError:       # pragma: no cover - older jax arrays
+            pass
         return flat, res["masks"].shape, res["small"].shape, (h, w)
 
     def fetch(self, dispatched) -> Dict[str, np.ndarray]:
@@ -223,6 +234,25 @@ def inference_vis(tracker: Tracker, dataset, output_dir: Optional[str] = None,
     per_proc = -(-n_videos // n_proc)
     my_videos = [(rank + k * n_proc) % n_videos for k in range(per_proc)] \
         if n_videos else []
+
+    # Group this rank's videos by eval canvas: every canvas switch makes the
+    # device tunnel load a different compiled program (seconds through axon),
+    # so same-canvas videos run back-to-back. Per-video tracking is
+    # independent — ordering changes nothing but the program-switch count.
+    def _canvas_of(i):
+        v = dataset[i]
+        tr = getattr(v, "transform", None)
+        size = getattr(v, "original_size", None)
+        buckets = getattr(getattr(tracker, "infer_fn", None), "buckets", None)
+        if tr is None or size is None or not buckets:
+            return (0, 0)
+        from .datasets import pick_canvas as _pick
+        from .datasets.transforms import get_size_with_aspect_ratio
+        eh, ew = get_size_with_aspect_ratio(
+            size, tr.min_size, tr.max_size)
+        return _pick(eh, ew, buckets)
+
+    my_videos = sorted(my_videos, key=_canvas_of)
 
     all_results: List[Dict] = []
     times: List[float] = []
