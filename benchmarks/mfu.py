@@ -150,6 +150,12 @@ def train_flops(report=print):
 
 
 def main():
+    # Force the CPU platform in-process (the environment latches JAX_PLATFORMS
+    # to the TPU plugin at interpreter start): counting must see the XLA twin,
+    # and `resolve_impl('auto')` must not route any op to Pallas custom calls
+    # the counter can't open.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     which = sys.argv[1] if len(sys.argv) > 1 else "clip"
     ms = None
     if "--ms" in sys.argv:

@@ -95,7 +95,8 @@ class ModulatedDeformableConv(nn.Module):
         modulator = 2.0 * jax.nn.sigmoid(
             conv2d_nhwc(x, w_mod.astype(dt), b_mod.astype(dt), self.padding))
         return deform_conv2d(x, offset, modulator, weight.astype(x.dtype),
-                             bias.astype(x.dtype), padding=self.padding)
+                             bias.astype(x.dtype), padding=self.padding,
+                             impl=self.impl)
 
 
 class GroupNormCF(nn.Module):
