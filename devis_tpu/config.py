@@ -296,7 +296,7 @@ _C.TPU.SWIN_GRADIENT_CHECKPOINT = False  # remat each Swin block (the TPU
                                      # torch.utils.checkpoint, swin_backbone.py:338)
 _C.TPU.MAX_INSTANCES = 25            # target-slot capacity per sample (static shape;
                                      # matches the reference's 25-instance cap, coco_joint_vis.py:33)
-_C.TPU.MASKHEAD_BAND_NCAND = [4, 3]  # banded DCNv2 candidate window (x, y): integer
+_C.TPU.MASKHEAD_BAND_NCAND = [3, 3]  # banded DCNv2 candidate window (x, y): integer
                                      # shifts evaluated per axis around the rebased
                                      # offset. y=3 suffices because rows are rebased
                                      # per (instance, position); the tent-FMA cost
