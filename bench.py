@@ -117,14 +117,15 @@ def _e2e_fps(cfg, model, variables) -> dict:
     """frames / (inference+tracking) over synthetic videos (real pipeline).
 
     Corpus: 2 canvas buckets (landscape 360×640 + portrait-resized 480×320
-    video) and 8 instances/video so the 20-trajectory stitch cost is
-    representative. Returns fps plus the timed-path split."""
+    video) and 20 instances/video so all 20 output trajectories stay live
+    through the stitch (worst-case all-pairs soft-IoU cost). Returns fps
+    plus the timed-path split."""
     from devis_tpu.datasets.synthetic import SyntheticVISValDataset
     from devis_tpu.inference import build_tracker, inference_vis
 
     dataset = SyntheticVISValDataset(
         num_frames=T, stride=STRIDE, n_videos=4, video_len=36,
-        sizes=[(360, 640), (480, 320)], n_inst=8,
+        sizes=[(360, 640), (480, 320)], n_inst=20,
         min_size=cfg.INPUT.MIN_SIZE_TEST,
         max_size=cfg.INPUT.MAX_SIZE_TEST)
     tracker = build_tracker(cfg, model, variables)

@@ -229,7 +229,12 @@ class MaskHeadConv(nn.Module):
         out_dims = [self.dim // (2 ** e) for e in range(num_levels + 2)]
 
         def expand_feat(t):
-            # (B, H, W, C) -> (B*expand, [H, W, C] | [C, H, W])
+            # (B, H, W, C) -> (B*expand, [H, W, C] | [C, H, W]).
+            # Cast to the spine's compute dtype BEFORE expanding: encoder
+            # memories arrive f32 (post-LayerNorm), and expanding/staging
+            # the ~GB spine activation at f32 doubles the banded kernel's
+            # HBM traffic vs the bf16 compute-dtype policy.
+            t = t.astype(self.dtype)
             if cf:
                 t = jnp.transpose(t, (0, 3, 1, 2))        # per-image: small
             if self.expand_mode == "tile":
@@ -237,7 +242,12 @@ class MaskHeadConv(nn.Module):
             return jnp.repeat(t, expand, axis=0)
 
         def att(a):
-            # bbox_masks arrive (BN, heads, H, W) — already channel-first
+            # bbox_masks arrive (BN, heads, H, W) — already channel-first.
+            # Same dtype policy as expand_feat: attention maps are f32
+            # softmax outputs in [0,1], where the compute-dtype rounding is
+            # benign, and concat's type promotion would otherwise lift the
+            # whole expanded spine activation back to f32.
+            a = a.astype(self.dtype)
             return a if cf else jnp.transpose(a, (0, 2, 3, 1))
 
         c_ax = 1 if cf else -1

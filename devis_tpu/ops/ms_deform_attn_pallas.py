@@ -1527,6 +1527,82 @@ def _row_ranges_proj(rx, ry, cx, cy, tx, ty, spatial_shapes: Shapes, F: int,
                       count.astype(jnp.int32)], axis=-1)
 
 
+def _ranges_proj_kernel(rx_ref, ry_ref, cx_ref, cy_ref, tx_ref, ty_ref,
+                        out_ref, *, spatial_shapes: Shapes, F: int,
+                        s_tile: int, P: int):
+    """In-kernel `_row_ranges_proj`: same f32 span math (windows stay exact
+    supersets of the live taps), but the bf16 offset rows are read ONCE in
+    VMEM tiles instead of XLA materializing f32 copies of every
+    (ref + offset) location tensor per layer (~0.9 GB HBM round trips per
+    6-layer clip at YT-VIS eval shapes)."""
+    L = len(spatial_shapes)
+    f32 = jnp.float32
+    big = jnp.float32(1 << 30)
+    for lvl in range(F * L):
+        h, w = spatial_shapes[lvl % L]
+        if lvl < L:
+            rxl = rx_ref[0, lvl:lvl + 1, :].astype(f32)        # (1, qt)
+            ryl = ry_ref[0, lvl:lvl + 1, :].astype(f32)
+            ox = cx_ref[0, lvl * P:(lvl + 1) * P, :].astype(f32)
+            oy = cy_ref[0, lvl * P:(lvl + 1) * P, :].astype(f32)
+        else:
+            rxl = rx_ref[0, 0:1, :].astype(f32)
+            ryl = ry_ref[0, 0:1, :].astype(f32)
+            j = lvl - L
+            ox = tx_ref[0, j * P:(j + 1) * P, :].astype(f32)
+            oy = ty_ref[0, j * P:(j + 1) * P, :].astype(f32)
+        x = (rxl + ox * np.float32(1.0 / w)) * w - 0.5         # (P, qt)
+        y = (ryl + oy * np.float32(1.0 / h)) * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        valid = (x > -1) & (x < w) & (y > -1) & (y < h)
+        lo = jnp.floor((jnp.clip(y0, 0, h - 1) * w
+                        + jnp.clip(x0, 0, w - 1)) * 0.5)
+        hi = jnp.floor((jnp.clip(y0 + 1, 0, h - 1) * w
+                        + jnp.clip(x0 + 1, 0, w - 1)) * 0.5)
+        mn = jnp.min(jnp.where(valid, lo, big)).astype(jnp.int32)
+        mx = jnp.max(jnp.where(valid, hi, -1.0)).astype(jnp.int32)
+        base = (mn // 8) * 8
+        out_ref[0, 0, lvl, 0] = jnp.where(mx >= 0, base, 0)
+        out_ref[0, 0, lvl, 1] = jnp.where(mx >= 0, (mx - base) // s_tile + 1,
+                                          0)
+
+
+def _row_ranges_proj_pallas(rx, ry, cx, cy, tx, ty, spatial_shapes: Shapes,
+                            F: int, q_tile: int, s_tile: int, M: int):
+    """Pallas launcher for `_ranges_proj_kernel` → (T·M, nqt, Lf, 2) i32."""
+    T, L, q_pad = rx.shape
+    TM, LP, _ = cx.shape
+    P = LP // L
+    W = F - 1
+    nqt = q_pad // q_tile
+    Lf = F * L
+    if W == 0:
+        # Single-frame form (image encoder): the kernel never reads the
+        # temporal refs, but the specs must be non-empty — alias the
+        # current-frame rows.
+        tx, ty = cx, cy
+    ref_spec = pl.BlockSpec((1, L, q_tile), lambda bm, qt: (bm // M, 0, qt),
+                            memory_space=pltpu.VMEM)
+    cur_spec = pl.BlockSpec((1, L * P, q_tile), lambda bm, qt: (bm, 0, qt),
+                            memory_space=pltpu.VMEM)
+    tmp_spec = pl.BlockSpec((1, max(W, 1) * L * P, q_tile),
+                            lambda bm, qt: (bm, 0, qt),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_ranges_proj_kernel,
+                               spatial_shapes=tuple(spatial_shapes), F=F,
+                               s_tile=s_tile, P=P)
+    return pl.pallas_call(
+        kernel,
+        grid=(TM, nqt),
+        in_specs=[ref_spec, ref_spec, cur_spec, cur_spec, tmp_spec, tmp_spec],
+        out_specs=pl.BlockSpec((1, 1, Lf, 2), lambda bm, qt: (bm, qt, 0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((TM, nqt, Lf, 2), jnp.int32),
+        interpret=_interpret(),
+    )(rx, ry, cx, cy, tx, ty)
+
+
 def _build_rows_from_proj(spatial_shapes: Shapes, F: int, rx, ry, cx, cy,
                           tx, ty, ca, ta):
     """Differentiable XLA reconstruction of (lx, ly, at) rows from the
@@ -1573,8 +1649,8 @@ def _fwd_call_temporal_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry,
     L = len(spatial_shapes)
     q_pad = rx.shape[2]
     P = cx.shape[1] // L
-    ranges = _row_ranges_proj(rx, ry, cx, cy, tx, ty, spatial_shapes, F,
-                              q_tile, s_tile)
+    ranges = _row_ranges_proj_pallas(rx, ry, cx, cy, tx, ty, spatial_shapes,
+                                     F, q_tile, s_tile, M)
     level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
     acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
         else jnp.float32
@@ -1756,9 +1832,8 @@ def _fwd_call_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry, cx, cy,
     L = len(spatial_shapes)
     q_pad = rx.shape[2]
     P = cx.shape[1] // L
-    tx0 = jnp.zeros((BM, 0, q_pad), cx.dtype)
-    ranges = _row_ranges_proj(rx, ry, cx, cy, tx0, tx0, spatial_shapes, 1,
-                              q_tile, s_tile)
+    ranges = _row_ranges_proj_pallas(rx, ry, cx, cy, cx, cy, spatial_shapes,
+                                     1, q_tile, s_tile, M)
     level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
     acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
         else jnp.float32

@@ -516,3 +516,36 @@ def test_encoder_stacked_fallback_matches_xla(rng, monkeypatch):
     out_rows = m_rows.apply(params, query, refpts, flat, SHAPES)
     np.testing.assert_allclose(np.asarray(out_rows), np.asarray(out_xla),
                                rtol=1e-4, atol=1e-5)
+
+
+class TestRangesProjPallas:
+    """The in-kernel s-window computation must match the XLA reference
+    bit-for-bit (the windows gate which value tiles the forward kernel
+    DMAs — any divergence drops live taps)."""
+
+    @pytest.mark.parametrize("rule", [("all",), ("window", (-1, 1))])
+    def test_matches_xla_reference(self, rng, rule):
+        from devis_tpu.ops.ms_deform_attn_pallas import (
+            S_TILE, _row_ranges_proj, _row_ranges_proj_pallas, _round_up,
+            _rule_window)
+        T, M, P = 3, 2, 2
+        L = len(SHAPES)
+        W = _rule_window(rule, T)
+        F = 1 + W
+        Q = 40
+        q_pad = _round_up(Q, 128)
+        rx = jnp.asarray(rng.rand(T, L, q_pad), jnp.float32)
+        ry = jnp.asarray(rng.rand(T, L, q_pad), jnp.float32)
+        rx = rx.at[:, :, Q:].set(-10.0)
+        ry = ry.at[:, :, Q:].set(-10.0)
+
+        def rows(n):
+            return jnp.asarray(rng.randn(T * M, n * P, q_pad) * 3,
+                               jnp.float32)
+        cx, cy = rows(L), rows(L)
+        tx, ty = rows(W * L), rows(W * L)
+        want = _row_ranges_proj(rx, ry, cx, cy, tx, ty, SHAPES, F,
+                                128, S_TILE)
+        got = _row_ranges_proj_pallas(rx, ry, cx, cy, tx, ty, SHAPES, F,
+                                      128, S_TILE, M)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
