@@ -132,6 +132,7 @@ def _e2e_fps(cfg, model, variables) -> dict:
     inference_vis(tracker, dataset, verbose=False)         # compile + warm
     _mark("e2e warm pass done; timed pass")
     tracker.wait_time = tracker.stitch_time = 0.0
+    tracker.wait_series = []
     out = inference_vis(tracker, dataset, verbose=False)
     _mark("e2e timed pass done")
     return {"fps": float(out["fps"]),

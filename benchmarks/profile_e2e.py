@@ -102,12 +102,17 @@ def main():
 
     HungarianInferenceMatcher.__call__ = match
 
+    # The bench.py corpus: 2 canvas buckets, 20 instances, 4×36 frames —
+    # numbers here decompose the e2e figure BENCH_rNN.json reports.
     dataset = SyntheticVISValDataset(
-        num_frames=T, stride=STRIDE, n_videos=3, video_len=36,
-        size=(360, 640), min_size=360, max_size=640)
+        num_frames=T, stride=STRIDE, n_videos=4, video_len=36,
+        sizes=[(360, 640), (480, 320)], n_inst=20,
+        min_size=360, max_size=640)
     tracker = build_tracker(cfg, model, variables)
     inference_vis(tracker, dataset, verbose=False)   # warm
     TIMES.clear()
+    tracker.wait_time = tracker.stitch_time = 0.0
+    tracker.wait_series = []
     t0 = time.perf_counter()
     out = inference_vis(tracker, dataset, verbose=False)
     wall = time.perf_counter() - t0
@@ -115,7 +120,8 @@ def main():
 
     print(f"\ne2e fps (timed accounting) : {out['fps']:.2f}")
     print(f"wall fps (total wall)      : {n_frames / wall:.2f}")
-    print(f"frames={n_frames}  wall={wall:.2f}s")
+    print(f"frames={n_frames}  wall={wall:.2f}s  "
+          f"wait={tracker.wait_time:.2f}s  stitch={tracker.stitch_time:.2f}s")
     for k in ("prep", "dispatch", "fetch", "masks", "stitch"):
         v = TIMES.get(k, [])
         if not v:
@@ -126,6 +132,17 @@ def main():
         mb = np.mean(TIMES["fetch_bytes"]) / 2**20
         bw = mb / 2**0 / max(np.mean(TIMES["fetch"]), 1e-9)
         print(f"fetch payload: {mb:.1f} MiB/clip  -> {bw:.0f} MiB/s")
+
+    # Per-clip wait series: exposes WHERE the non-floor wait goes
+    # (steady-state vs video-boundary vs canvas-switch clips).
+    print("\nper-clip result-wait series (ms):")
+    prev_vid = None
+    for vid, clip_idx, w in tracker.wait_series:
+        tag = ""
+        if vid != prev_vid:
+            tag = " <- first clip of video"
+            prev_vid = vid
+        print(f"  video {vid} clip {clip_idx:2d}: {w*1e3:7.1f}{tag}")
 
 
 if __name__ == "__main__":

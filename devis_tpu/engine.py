@@ -244,4 +244,6 @@ def train_one_epoch(step_fn, state, data_loader, rng, epoch: int,
         pending = metrics
     if pending is not None:
         drain(pending)
+    # Printed/returned epoch stats cover ALL ranks (reference misc.py:199-210)
+    logger.synchronize_between_processes()
     return state, {k: m.global_avg for k, m in logger.meters.items()}

@@ -254,19 +254,40 @@ def inference_vis(tracker: Tracker, dataset, output_dir: Optional[str] = None,
 
     my_videos = sorted(my_videos, key=_canvas_of)
 
-    all_results: List[Dict] = []
-    times: List[float] = []
-    for j, i in enumerate(my_videos):
+    videos = []
+    for i in my_videos:
         video = dataset[i]
         if selected_videos and getattr(video, "video_name",
                                        None) not in selected_videos:
             continue
-        t0 = time.time()
-        video_results = tracker(video, all_times=times)
-        all_results.extend(video_results)
-        if verbose:
-            print(f"video {j + 1}/{len(my_videos)} "
-                  f"({time.time() - t0:.2f}s)", flush=True)
+        videos.append(video)
+
+    # ONE persistent loader/dispatch/fetch pipeline spans the whole pass:
+    # every video's clips are enqueued up front (in the canvas-grouped order
+    # the loop consumes them), so clip 0 of video j+1 is prepped, uploaded,
+    # and dispatched while video j's tail clips still stream back — the
+    # per-video pipeline refill bubble (~300 ms/video through the device
+    # tunnel) disappears (round-3 bubble decomposition, PERFORMANCE.md
+    # §Pipeline).
+    from .tracking.pipeline import ClipPipeline
+    pipeline = ClipPipeline(tracker.infer_fn)
+    for video in videos:
+        pipeline.add_video(video)
+    tracker.pipeline = pipeline
+
+    all_results: List[Dict] = []
+    times: List[float] = []
+    try:
+        for j, video in enumerate(videos):
+            t0 = time.time()
+            video_results = tracker(video, all_times=times)
+            all_results.extend(video_results)
+            if verbose:
+                print(f"video {j + 1}/{len(videos)} "
+                      f"({time.time() - t0:.2f}s)", flush=True)
+    finally:
+        tracker.pipeline = None
+        pipeline.close()
 
     if n_proc > 1:
         from .parallel.multihost import accumulate_results, all_gather_objects

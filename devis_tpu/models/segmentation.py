@@ -73,6 +73,10 @@ class ModulatedDeformableConv(nn.Module):
         Cin = x.shape[1] if channel_first else x.shape[-1]
         w_off, b_off = _ConvParams(2 * K * K, K, Cin, name="offset_conv")()
         w_mod, b_mod = _ConvParams(K * K, K, Cin, name="modulator_conv")()
+        # Layer-input capture for the accuracy-gate band-coverage audit
+        # (`accuracy_gate.py`): a no-op unless 'intermediates' is mutable.
+        self.sow("intermediates", "mdc_input",
+                 jnp.transpose(x, (0, 2, 3, 1)) if channel_first else x)
         weight = self.param("weight", nn.initializers.he_uniform(),
                             (K, K, Cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))

@@ -1579,14 +1579,16 @@ def _row_ranges_proj_pallas(rx, ry, cx, cy, tx, ty, spatial_shapes: Shapes,
     Lf = F * L
     if W == 0:
         # Single-frame form (image encoder): the kernel never reads the
-        # temporal refs, but the specs must be non-empty — alias the
-        # current-frame rows.
-        tx, ty = cx, cy
+        # temporal refs, but the specs must be non-empty — pass a 1-row
+        # dummy so the unused operands DMA one row per grid step instead of
+        # re-staging the full (L·P, q_tile) current-frame block twice.
+        tx = jnp.zeros((TM, 1, q_pad), cx.dtype)
+        ty = tx
     ref_spec = pl.BlockSpec((1, L, q_tile), lambda bm, qt: (bm // M, 0, qt),
                             memory_space=pltpu.VMEM)
     cur_spec = pl.BlockSpec((1, L * P, q_tile), lambda bm, qt: (bm, 0, qt),
                             memory_space=pltpu.VMEM)
-    tmp_spec = pl.BlockSpec((1, max(W, 1) * L * P, q_tile),
+    tmp_spec = pl.BlockSpec((1, max(W, 1) * L * P if W else 1, q_tile),
                             lambda bm, qt: (bm, 0, qt),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_ranges_proj_kernel,

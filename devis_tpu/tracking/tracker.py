@@ -26,6 +26,7 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 from .inference_matcher import HungarianInferenceMatcher
+from .pipeline import ClipPipeline
 from .track import SmallMask, Track
 
 
@@ -62,6 +63,22 @@ class Tracker:
         # cumulative timed-path split (result-wait vs stitch) for benchmarks
         self.wait_time = 0.0
         self.stitch_time = 0.0
+        # per-clip wait series [(video_id, clip_idx, wait_s)] for bubble
+        # decomposition (docs/PERFORMANCE.md §Pipeline)
+        self.wait_series: List = []
+        # Optional SHARED pipeline spanning videos: `inference_vis` enqueues
+        # every video up front so clip 0 of video j+1 is prepped/dispatched
+        # while video j's tail clips stream back (no video-boundary bubble).
+        # When unset, __call__ spins up a private single-video pipeline.
+        self.pipeline: Optional[ClipPipeline] = None
+        # lazy persistent RLE encode pool (threads spawn on first use)
+        self._encode_pool = None
+
+    def _encoder(self):
+        if self._encode_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._encode_pool = ThreadPoolExecutor(max_workers=2)
+        return self._encode_pool
 
     # -- mask post-processing (reference L239-260) --------------------------
     def _process_masks(self, start_idx: int, clip_idx: int, is_last: bool,
@@ -96,80 +113,30 @@ class Tracker:
         num_clips = len(video)
 
         # Pipeline loader, device, tunnel, and host as FOUR overlapped
-        # stages: clip i+2's frames load on a loader thread; clip i+1 is
-        # uploaded + dispatched on a dispatch thread (the TPU queues and runs
-        # it while clip i's outputs still stream back); clip i's
-        # device→host fetch blocks only the fetch thread; and the host
+        # stages (ClipPipeline): clip i+2's frames load on a loader thread;
+        # clip i+1 is uploaded + dispatched on a dispatch thread (the TPU
+        # queues and runs it while clip i's outputs still stream back); clip
+        # i's device→host fetch blocks only the fetch thread; and the host
         # stitches clip i−1 meanwhile. Full-res mask RLE runs on a separate
         # encode pool (lazy `SmallMask` materialization). The steady-state
         # clip period is max(stage) instead of the serial sum — crucial over
         # a high-latency device tunnel (SURVEY.md §7 hard part 4; the
         # reference runs everything serially and prefetches only via
-        # DataLoader workers, tracker.py:296-462).
-        from concurrent.futures import ThreadPoolExecutor
-        pool = ThreadPoolExecutor(max_workers=1)         # fetch stage
-        self._encode_pool = ThreadPoolExecutor(max_workers=2)
-        staged = hasattr(self.infer_fn, "prepare") and hasattr(self.infer_fn,
-                                                               "run")
-        deep = staged and hasattr(self.infer_fn, "dispatch") \
-            and hasattr(self.infer_fn, "fetch")
-        if staged:
-            # 2 loader workers: decode+resize of one clip can exceed the
-            # device clip latency; results are keyed by index so completion
-            # order doesn't matter.
-            load_pool = ThreadPoolExecutor(max_workers=2)
-            preps: Dict[int, object] = {}
-
-            def ensure_prep(i):
-                if i not in preps and i < num_clips:
-                    preps[i] = load_pool.submit(self.infer_fn.prepare,
-                                                video, i)
-
-            if deep:
-                disp_pool = ThreadPoolExecutor(max_workers=1)
-                disps: Dict[int, object] = {}
-
-                def ensure_disp(i):
-                    if i not in disps and i < num_clips:
-                        ensure_prep(i)
-                        fut = preps.pop(i)
-                        disps[i] = disp_pool.submit(
-                            lambda f=fut: self.infer_fn.dispatch(f.result()))
-
-                def submit(i):
-                    ensure_disp(i)
-                    fut = disps.pop(i)
-                    return pool.submit(
-                        lambda f=fut: self.infer_fn.fetch(f.result()))
-            else:
-                def submit(i):
-                    ensure_prep(i)
-                    fut = preps.pop(i)
-                    return pool.submit(
-                        lambda f=fut: self.infer_fn.run(f.result()))
-
-            ensure_prep(0)
-            ensure_prep(1)
-            if deep:
-                ensure_disp(0)
-                ensure_disp(1)       # clip 1 queues on-device behind clip 0
-            pending = submit(0)
-        else:
-            pending = pool.submit(self.infer_fn, video, 0)
+        # DataLoader workers, tracker.py:296-462). When `inference_vis` set a
+        # shared pipeline, the whole evaluation's clips were enqueued up
+        # front and prefetch crosses video boundaries.
+        pipe = self.pipeline
+        owns_pipe = pipe is None
+        if owns_pipe:
+            pipe = ClipPipeline(self.infer_fn)
+            pipe.add_video(video)
 
         for clip_idx in range(num_clips):
             t0 = time.time()
-            results = pending.result()
-            if clip_idx + 1 < num_clips:
-                if staged:
-                    ensure_prep(clip_idx + 2)
-                    if deep:
-                        ensure_disp(clip_idx + 2)
-                    pending = submit(clip_idx + 1)
-                else:
-                    pending = pool.submit(self.infer_fn, video, clip_idx + 1)
+            results = pipe.next()
             times.append(time.time() - t0)
             self.wait_time += times[-1]
+            self.wait_series.append((video.video_id, clip_idx, times[-1]))
 
             scores = results["scores"][:clip_length]
             labels = results["labels"] + 1                 # category ids 1-based
@@ -222,7 +189,7 @@ class Tracker:
                 for tr in video_tracks:
                     tr.update_stride_and_encode_masks(
                         clip_length - self.overlap_window, self.overlap_window,
-                        encoder=self._encode_pool)
+                        encoder=self._encoder())
             else:
                 self._per_class_stitch(video, video_tracks, clip_tracks,
                                        cats_dict, clip_cats,
@@ -231,15 +198,12 @@ class Tracker:
                 stride = clip_length - self.overlap_window
                 for tr in video_tracks:
                     tr.update_stride_and_encode_masks(stride, self.overlap_window,
-                                                      encoder=self._encode_pool)
+                                                      encoder=self._encoder())
             times.append(time.time() - t1)
             self.stitch_time += times[-1]
 
-        pool.shutdown(wait=False)
-        if staged:
-            load_pool.shutdown(wait=False)
-            if deep:
-                disp_pool.shutdown(wait=False)
+        if owns_pipe:
+            pipe.close()
         if all_times is not None:
             all_times.append(sum(times))
 
@@ -256,7 +220,6 @@ class Tracker:
                 > self.cfg.track_min_score]
         for tr in video_tracks:
             tr.encode_all_masks()
-        self._encode_pool.shutdown(wait=False)
 
         if self.viz.out_viz_path:
             # reference tracker.py:450-458: merged overlays or independent

@@ -114,6 +114,22 @@ class MetricLogger:
     def __str__(self):
         return self.delimiter.join(f"{name}: {meter}" for name, meter in self.meters.items())
 
+    def synchronize_between_processes(self):
+        """All-reduce each meter's count/total across hosts so printed global
+        averages reflect ALL ranks (reference misc.py:199-210, which
+        all-reduces over NCCL; here a host-side process_allgather). The
+        windowed median/avg stay per-process, matching the reference. No-op
+        single-process."""
+        import jax
+        if jax.process_count() == 1:
+            return
+        from ..parallel.multihost import all_gather_objects
+        payload = {k: (m.count, m.total) for k, m in self.meters.items()}
+        gathered = all_gather_objects(payload)
+        for k, meter in self.meters.items():
+            meter.count = sum(p[k][0] for p in gathered if k in p)
+            meter.total = sum(p[k][1] for p in gathered if k in p)
+
     def log_every(self, iterable: Iterable, header: str = ""):
         i = 0
         start = time.time()

@@ -257,12 +257,15 @@ def render_sampling_points(frame: np.ndarray,
                            sampling_locations: np.ndarray,
                            attention_weights: np.ndarray,
                            query_idx: int, frame_idx: int,
-                           level_colors: bool = True) -> np.ndarray:
+                           level_colors: bool = True,
+                           level: Optional[int] = None) -> np.ndarray:
     """Scatter one query's deformable sampling points over a frame
     (reference att_maps_viz.py: per-level colored points, size ∝ weight).
 
     sampling_locations: (T, Lq, M, L, P, 2) normalized; attention_weights:
-    (T, Lq, M, L, P)."""
+    (T, Lq, M, L, P). With `level` set, only that resolution level's points
+    render (the reference's per-level output mode, att_maps_viz.py:208-818);
+    None renders all levels merged."""
     out = np.ascontiguousarray(np.clip(frame, 0, 255).astype(np.uint8))
     h, w = frame.shape[:2]
     loc = np.asarray(sampling_locations)[frame_idx, query_idx]   # (M, L, P, 2)
@@ -271,6 +274,8 @@ def render_sampling_points(frame: np.ndarray,
     amax = max(att.max(), 1e-6)
     for m in range(M):
         for lvl in range(L):
+            if level is not None and lvl != level:
+                continue
             color = _COLORS[(lvl if level_colors else m) % len(_COLORS)]
             for p in range(P):
                 x = int(np.clip(loc[m, lvl, p, 0], 0, 1) * (w - 1))

@@ -20,6 +20,10 @@ def main(argv=None):
     p.add_argument("--videos", type=int, default=1)
     p.add_argument("--queries", type=int, default=3)
     p.add_argument("--layer", type=int, default=-1)
+    p.add_argument("--per-level", action="store_true",
+                   help="additionally write one overlay per resolution "
+                        "level (reference att_maps_viz.py:208-818 per-level "
+                        "mode) next to the merged overlay")
     p.add_argument("--out-dir", default="att_maps_viz")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     args = p.parse_args(argv)
@@ -78,14 +82,26 @@ def main(argv=None):
         top_queries = np.asarray(res["query_top_k_indexes"])[:args.queries]
         mean = np.asarray([0.485, 0.456, 0.406])
         std = np.asarray([0.229, 0.224, 0.225])
+        import cv2
+        n_levels = loc.shape[3]
         for qi, q in enumerate(top_queries):
             for t in range(T):
                 img = np.clip((frames[t] * std + mean) * 255, 0, 255)
                 vis = render_sampling_points(img, loc, att, int(q), t)
-                import cv2
                 path = os.path.join(args.out_dir,
                                     f"v{video.video_id}_q{qi}_t{t}.jpg")
                 cv2.imwrite(path, cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
+                if args.per_level:
+                    # reference att_maps_viz.py:208-818: one overlay per
+                    # resolution level next to the merged one
+                    for lvl in range(n_levels):
+                        vis_l = render_sampling_points(img, loc, att,
+                                                       int(q), t, level=lvl)
+                        path_l = os.path.join(
+                            args.out_dir,
+                            f"v{video.video_id}_q{qi}_t{t}_lvl{lvl}.jpg")
+                        cv2.imwrite(path_l,
+                                    cv2.cvtColor(vis_l, cv2.COLOR_RGB2BGR))
         print(f"video {video.video_id}: wrote attention maps for "
               f"{len(top_queries)} queries to {args.out_dir}")
 

@@ -92,3 +92,32 @@ def test_tracker_visualization_modes(tmp_path, merge):
     t = video.file_names.index(f"vid7/{name}")
     base = cv2.cvtColor(video.read_frame(t), cv2.COLOR_RGB2BGR)
     assert img is not None and not np.array_equal(img, base)
+
+
+def test_render_sampling_points_merged_and_per_level():
+    """Sampling-point overlays (reference att_maps_viz.py:208-818): the
+    merged render draws every level; a per-level render draws only that
+    level's points (pixels touched by other levels stay untouched)."""
+    from devis_tpu.util.visualization import render_sampling_points
+
+    T, Lq, M, L, P = 2, 3, 2, 4, 4
+    rng = np.random.RandomState(0)
+    loc = rng.rand(T, Lq, M, L, P, 2).astype(np.float32)
+    att = rng.rand(T, Lq, M, L, P).astype(np.float32)
+    frame = np.zeros((64, 96, 3), np.float32)
+
+    merged = render_sampling_points(frame, loc, att, query_idx=1, frame_idx=0)
+    assert merged.shape == (64, 96, 3) and merged.any()
+
+    per_level = [render_sampling_points(frame, loc, att, 1, 0, level=lvl)
+                 for lvl in range(L)]
+    for lvl, img in enumerate(per_level):
+        assert img.any(), f"level {lvl} drew nothing"
+    # the union of level renders touches every pixel the merged render does
+    union = np.zeros_like(merged)
+    for img in per_level:
+        union = np.maximum(union, img)
+    assert np.array_equal(union.astype(bool), merged.astype(bool))
+    # and each single level is a strict subset (others' points absent)
+    for img in per_level:
+        assert img.astype(bool).sum() < merged.astype(bool).sum()
