@@ -51,6 +51,45 @@ def local_locations(rs, Q, shapes, n_levels, spread=0.05):
     return jnp.asarray((ref[:, None, None, None] + off)[None], jnp.float32)
 
 
+def span_elements(loc, shapes, q_tile=None, s_tile=mp.S_TILE) -> int:
+    """Total one-hot W-tile elements the kernel streams for these sampling
+    locations — the kernel-health denominator (docs/PERFORMANCE.md
+    §MSDeformAttn: time is weight-load bound, ∝ Σ span·q_tile over
+    (batch·head, q-tile, level) triples).
+
+    Numpy replica of the in-kernel range computation (`_ranges_kernel`):
+    per level the live s-window spans the min/max PACKED raster row touched
+    by any tap of the (head, q-tile) block, rounded to s_tile tiles."""
+    loc = np.asarray(loc, np.float32)
+    B, Q, M_, L, P_, _ = loc.shape
+    q_tile = q_tile or (128 if Q <= 128 else mp.Q_TILE)
+    n_qt = -(-Q // q_tile)
+    total = 0
+    for lvl in range(L):
+        h, w = shapes[lvl]
+        x = loc[..., lvl, :, 0] * w - 0.5            # (B, Q, M, P)
+        y = loc[..., lvl, :, 1] * h - 0.5
+        x0, y0 = np.floor(x), np.floor(y)
+        valid = (x > -1) & (x < w) & (y > -1) & (y < h)
+        lo = np.floor((np.clip(y0, 0, h - 1) * w
+                       + np.clip(x0, 0, w - 1)) / 2)
+        hi = np.floor((np.clip(y0 + 1, 0, h - 1) * w
+                       + np.clip(x0 + 1, 0, w - 1)) / 2)
+        lo = np.where(valid, lo, np.inf)
+        hi = np.where(valid, hi, -1.0)
+        for b in range(B):
+            for m in range(M_):
+                for qt in range(n_qt):
+                    sl = slice(qt * q_tile, (qt + 1) * q_tile)
+                    mn, mx = lo[b, sl, m].min(), hi[b, sl, m].max()
+                    if mx < 0:
+                        continue
+                    base = (int(mn) // 8) * 8
+                    tiles = (int(mx) - base) // s_tile + 1
+                    total += tiles * s_tile * q_tile
+    return total
+
+
 def case(name, shapes, Q, value_dtype=jnp.bfloat16, bwd=False):
     rs = np.random.RandomState(0)
     S = sum(h * w for h, w in shapes)
@@ -64,6 +103,14 @@ def case(name, shapes, Q, value_dtype=jnp.bfloat16, bwd=False):
     tp = timed(f"{name} pallas fwd", fp, value)
     tx = timed(f"{name} xla fwd", fx, value)
     print(f"{name}: pallas {tx / tp:.1f}x faster fwd")
+    # Kernel health: W-element streaming rate vs the MXU weight-load bound
+    # (~128 elem/cycle ≈ 190 Gelem/s at the v5e clock). Regressions show
+    # here even when useful-MFU (a formulation property) doesn't move.
+    elems = span_elements(loc, shapes)
+    rate = elems / tp / 1e9
+    print(f"{name}: kernel-health {elems / 1e6:.0f} M W-elems, "
+          f"{rate:.0f} Gelem/s ({rate / 190 * 100:.0f}% of weight-load "
+          "bound)")
     if bwd:
         gp = jax.jit(jax.grad(lambda v: fp(v)))
         gx = jax.jit(jax.grad(lambda v: fx(v)))

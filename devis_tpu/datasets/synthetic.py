@@ -27,11 +27,18 @@ def _draw_instance(img, mask, kind, x, y, size, color):
             img[y0:y1, x0:x1] = color
             mask[y0:y1, x0:x1] = 1
     else:
-        yy, xx = np.mgrid[0:h, 0:w]
-        e = (((xx - x) / (size / 2 + 1e-6)) ** 2
-             + ((yy - y) / (size / 3 + 1e-6)) ** 2) <= 1
-        img[e] = color
-        mask[e] = 1
+        # Rasterize only the ellipse's bounding window (identical pixels to
+        # the old full-frame mgrid, ~50× less work — the full-frame form
+        # made clip prep the corpus bottleneck on 1-CPU hosts).
+        a, b = size / 2 + 1e-6, size / 3 + 1e-6
+        y0, y1 = max(int(np.floor(y - b)), 0), min(int(np.ceil(y + b)) + 1, h)
+        x0, x1 = max(int(np.floor(x - a)), 0), min(int(np.ceil(x + a)) + 1, w)
+        if y1 <= y0 or x1 <= x0:
+            return
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        e = ((xx - x) / a) ** 2 + ((yy - y) / b) ** 2 <= 1
+        img[y0:y1, x0:x1][e] = color
+        mask[y0:y1, x0:x1][e] = 1
 
 
 class SyntheticVideo:
