@@ -137,7 +137,7 @@ def audit_band_coverage(cfg, num_classes, variables, sample_batch,
 
 
 def run_gate(cfg, expected, tolerance, coverage_floor,
-             dataset_val=None) -> int:
+             dataset_val=None, coverage_informational=False) -> int:
     """Build model, load weights through the production chain, audit band
     coverage, evaluate, compare. Returns a process exit code."""
     import jax
@@ -214,6 +214,12 @@ def run_gate(cfg, expected, tolerance, coverage_floor,
 
     # --- verdict -------------------------------------------------------------
     print("\n== accuracy gate ==")
+    if coverage_informational and not cov_ok:
+        # smoke mode: a LOW verdict on a random checkpoint is the audit
+        # WORKING — what the smoke proves is that it ran.
+        print("(coverage audit fired LOW on the synthetic random checkpoint "
+              "— correct behavior, informational in smoke mode)")
+        cov_ok = True
     rc = 0 if cov_ok else 1
     if expected is None:
         print(json.dumps(got))
@@ -290,7 +296,7 @@ def run_smoke() -> int:
             size=(96, 128), min_size=cfg.INPUT.MIN_SIZE_TEST,
             max_size=cfg.INPUT.MAX_SIZE_TEST)
         rc = run_gate(cfg, expected=None, tolerance=0.3, coverage_floor=0.99,
-                      dataset_val=(dataset, 41))
+                      dataset_val=(dataset, 41), coverage_informational=True)
     print("smoke:", "PASS" if rc == 0 else "FAIL")
     return rc
 
