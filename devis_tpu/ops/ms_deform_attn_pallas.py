@@ -99,6 +99,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _tile_q(x, q_tile: int):
+    """(B, rows, q_pad) → (B, nqt, rows, q_tile): contiguous per-program row
+    blocks.
+
+    A (1, rows, q_tile) block sliced out of the flat (B, rows, q_pad) layout
+    DMAs as `rows` separate q_tile-wide strided chunks — at the encoder's
+    ~300 operand rows per program the kernel is DMA-descriptor-bound
+    (~37 µs/program measured, independent of the inner-loop trip count; the
+    same inner loop on contiguous operands runs the W-build compute-bound).
+    Pre-tiling makes every program's row block ONE contiguous chunk; the
+    transpose is a single cheap XLA copy per call."""
+    B, rows, q_pad = x.shape
+    return jnp.transpose(x.reshape(B, rows, q_pad // q_tile, q_tile),
+                         (0, 2, 1, 3))
+
+
 # ---------------------------------------------------------------------------
 # Tap preparation (differentiable XLA elementwise)
 # ---------------------------------------------------------------------------
@@ -234,8 +250,8 @@ def _build_wt_tiles(we_ref, wo_ref, idx_ref, wt_ref, cols_t, lvl: int, K: int):
     zero = jnp.zeros((), we_ref.dtype)
     for k in range(K):
         ref = we_ref if (k & 1) == 0 else wo_ref
-        idx_k = idx_ref[0, lvl * K + k, :][None, :]            # (1, Qt)
-        wt_k = wt_ref[0, lvl * K + k, :][None, :].astype(ref.dtype)
+        idx_k = idx_ref[0, 0, lvl * K + k, :][None, :]         # (1, Qt)
+        wt_k = wt_ref[0, 0, lvl * K + k, :][None, :].astype(ref.dtype)
         ref[:] += jnp.where(idx_k == cols_t, wt_k, zero)
 
 
@@ -277,8 +293,8 @@ def _fwd_kernel_fused(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
     raw sampling locations/attention rows (L·P per cell) instead of
     pre-expanded tap indices/weights — 8/3 less operand traffic and no
     XLA-side tap fusion/transpose/pad chain."""
-    D = out_ref.shape[1]
-    Qt = out_ref.shape[2]
+    D = out_ref.shape[-2]
+    Qt = out_ref.shape[-1]
     # hardware iota is integer-only; build i32 then convert to f32
     rows0 = jax.lax.broadcasted_iota(
         jnp.int32, (s_tile, Qt), 0).astype(jnp.float32)
@@ -286,9 +302,9 @@ def _fwd_kernel_fused(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
     acc_o = jnp.zeros((D, Qt), jnp.float32)
 
     for lvl, (h, w) in enumerate(spatial_shapes):
-        lx = lx_ref[0, lvl * P:(lvl + 1) * P, :]
-        ly = ly_ref[0, lvl * P:(lvl + 1) * P, :]
-        at = at_ref[0, lvl * P:(lvl + 1) * P, :]
+        lx = lx_ref[0, 0, lvl * P:(lvl + 1) * P, :]
+        ly = ly_ref[0, 0, lvl * P:(lvl + 1) * P, :]
+        at = at_ref[0, 0, lvl * P:(lvl + 1) * P, :]
         entries = _level_entries(lx, ly, at, h, w)
         base_w = ranges_ref[0, 0, lvl, 0]          # 8-aligned window base
         num_t = ranges_ref[0, 0, lvl, 1]
@@ -319,7 +335,7 @@ def _fwd_kernel_fused(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
             return acc_e, acc_o
 
         acc_e, acc_o = jax.lax.fori_loop(0, num_t, body, (acc_e, acc_o))
-    out_ref[0] = (acc_e + acc_o).astype(out_ref.dtype)
+    out_ref[0, 0] = (acc_e + acc_o).astype(out_ref.dtype)
 
 
 def _bwd_kernel(ranges_ref, ve_ref, vo_ref, idx_ref, wt_ref, g_ref,
@@ -341,7 +357,7 @@ def _bwd_kernel(ranges_ref, ve_ref, vo_ref, idx_ref, wt_ref, g_ref,
         gve_ref[0] = jnp.zeros_like(gve_ref[0])
         gvo_ref[0] = jnp.zeros_like(gvo_ref[0])
 
-    gwt_ref[0] = jnp.zeros_like(gwt_ref[0])
+    gwt_ref[0, 0] = jnp.zeros_like(gwt_ref[0, 0])
 
     for lvl in range(L):
         start_t = ranges_ref[0, 0, lvl, 0]
@@ -372,10 +388,10 @@ def _bwd_kernel(ranges_ref, ve_ref, vo_ref, idx_ref, wt_ref, g_ref,
                 preferred_element_type=jnp.float32)
             for k in range(K):
                 G_t = G_e if (k & 1) == 0 else G_o
-                idx_k = idx_ref[0, lvl * K + k, :][None, :]    # (1, Qt)
+                idx_k = idx_ref[0, 0, lvl * K + k, :][None, :]  # (1, Qt)
                 col = jnp.sum(jnp.where(idx_k == cols_t, G_t, 0.0),
                               axis=0, keepdims=True)           # (1, Qt)
-                gwt_ref[0, lvl * K + k, :] += col[0]
+                gwt_ref[0, 0, lvl * K + k, :] += col[0]
             return carry
 
         jax.lax.fori_loop(0, num_t, body, 0)
@@ -397,7 +413,8 @@ def _common_specs(q_tile, L, K, S_pad, D, groups: int = 1):
     value_spec = pl.BlockSpec((1, S_pad, D),
                               lambda bm, qt: (bm // groups, 0, 0),
                               memory_space=pltpu.VMEM)
-    idx_spec = pl.BlockSpec((1, L * K, q_tile), lambda bm, qt: (bm, 0, qt),
+    idx_spec = pl.BlockSpec((1, 1, L * K, q_tile),
+                            lambda bm, qt: (bm, qt, 0, 0),
                             memory_space=pltpu.VMEM)
     return ranges_spec, value_spec, value_spec, idx_spec, idx_spec
 
@@ -412,6 +429,7 @@ def _fwd_call_fused(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
     LP, q_pad = lx.shape[1], lx.shape[2]
     L = ranges.shape[2]
     P = LP // L
+    lx, ly, at = (_tile_q(a, q_tile) for a in (lx, ly, at))
     level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
     acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
         else jnp.float32
@@ -420,26 +438,30 @@ def _fwd_call_fused(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
     value_spec = pl.BlockSpec((1, S_pad, D),
                               lambda bm, qt: (bm // groups, 0, 0),
                               memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, LP, q_tile), lambda bm, qt: (bm, 0, qt),
+    row_spec = pl.BlockSpec((1, 1, LP, q_tile),
+                            lambda bm, qt: (bm, qt, 0, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_kernel_fused,
                                spatial_shapes=spatial_shapes,
                                level_starts=level_starts,
                                s_tile=s_tile, P=P, acc_dtype=acc_dtype)
-    return pl.pallas_call(
+    nqt = q_pad // q_tile
+    out = pl.pallas_call(
         kernel,
-        grid=(BMG, q_pad // q_tile),
+        grid=(BMG, nqt),
         in_specs=[ranges_spec, value_spec, value_spec,
                   row_spec, row_spec, row_spec],
-        out_specs=pl.BlockSpec((1, D, q_tile), lambda bm, qt: (bm, 0, qt),
+        out_specs=pl.BlockSpec((1, 1, D, q_tile),
+                               lambda bm, qt: (bm, qt, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BMG, D, q_pad), value_e.dtype),
+        out_shape=jax.ShapeDtypeStruct((BMG, nqt, D, q_tile), value_e.dtype),
         scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
                         pltpu.VMEM((s_tile, q_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(ranges, value_e, value_o, lx, ly, at)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(BMG, D, q_pad)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9))
@@ -462,20 +484,23 @@ def _bwd_call(spatial_shapes: Shapes, value_e, value_o, idx, wt, ranges, g_bm,
                                groups=groups)
     gval_spec = pl.BlockSpec((1, S_pad, D), lambda bm, qt: (bm // groups, 0, 0),
                              memory_space=pltpu.VMEM)
+    idx, wt = _tile_q(idx, q_tile), _tile_q(wt, q_tile)
+    nqt = q_pad // q_tile
     gve, gvo, gwt = pl.pallas_call(
         kernel,
-        grid=(BMG, q_pad // q_tile),
+        grid=(BMG, nqt),
         in_specs=[r_spec, ve_spec, vo_spec, i_spec, w_spec, g_spec],
         out_specs=(
             gval_spec,
             gval_spec,
-            pl.BlockSpec((1, L * K, q_tile), lambda bm, qt: (bm, 0, qt),
+            pl.BlockSpec((1, 1, L * K, q_tile),
+                         lambda bm, qt: (bm, qt, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BM, S_pad, D), jnp.float32),
             jax.ShapeDtypeStruct((BM, S_pad, D), jnp.float32),
-            jax.ShapeDtypeStruct((BMG, LK, q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((BMG, nqt, LK, q_tile), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
                         pltpu.VMEM((s_tile, q_tile), jnp.float32)],
@@ -483,6 +508,7 @@ def _bwd_call(spatial_shapes: Shapes, value_e, value_o, idx, wt, ranges, g_bm,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(ranges, value_e, value_o, idx, wt, g_bm)
+    gwt = jnp.transpose(gwt, (0, 2, 1, 3)).reshape(BMG, LK, q_pad)
     return gve, gvo, gwt
 
 
@@ -590,9 +616,9 @@ def _bwd_kernel_rows(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
     # slices are relayout-handled; stores are stricter).
     glx_rows, gly_rows, gat_rows = [], [], []
     for lvl, (h, w) in enumerate(spatial_shapes):
-        lx = lx_ref[0, lvl * P:(lvl + 1) * P, :]
-        ly = ly_ref[0, lvl * P:(lvl + 1) * P, :]
-        at = at_ref[0, lvl * P:(lvl + 1) * P, :]
+        lx = lx_ref[0, 0, lvl * P:(lvl + 1) * P, :]
+        ly = ly_ref[0, 0, lvl * P:(lvl + 1) * P, :]
+        at = at_ref[0, 0, lvl * P:(lvl + 1) * P, :]
         entries, parts = _level_entries_bwd(lx, ly, at, h, w)
         start_t = ranges_ref[0, 0, lvl, 0]
         num_t = ranges_ref[0, 0, lvl, 1]
@@ -664,9 +690,9 @@ def _bwd_kernel_rows(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
         gly_rows.append(gly_lvl)
         gat_rows.append(gat_lvl)
 
-    glx_ref[0] = jnp.concatenate(glx_rows, axis=0)
-    gly_ref[0] = jnp.concatenate(gly_rows, axis=0)
-    gat_ref[0] = jnp.concatenate(gat_rows, axis=0)
+    glx_ref[0, 0] = jnp.concatenate(glx_rows, axis=0)
+    gly_ref[0, 0] = jnp.concatenate(gly_rows, axis=0)
+    gat_ref[0, 0] = jnp.concatenate(gat_rows, axis=0)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9))
@@ -679,6 +705,7 @@ def _bwd_call_rows(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
     L = len(spatial_shapes)
     P = LP // L
     ranges = _row_ranges_bwd(lx, ly, spatial_shapes, q_tile, s_tile, P)
+    lx, ly, at = (_tile_q(a, q_tile) for a in (lx, ly, at))
     level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
     acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
         else jnp.float32
@@ -687,7 +714,8 @@ def _bwd_call_rows(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
     value_spec = pl.BlockSpec((1, S_pad, D),
                               lambda bm, qt: (bm // groups, 0, 0),
                               memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, LP, q_tile), lambda bm, qt: (bm, 0, qt),
+    row_spec = pl.BlockSpec((1, 1, LP, q_tile),
+                            lambda bm, qt: (bm, qt, 0, 0),
                             memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((1, q_tile, D), lambda bm, qt: (bm, qt, 0),
                           memory_space=pltpu.VMEM)
@@ -698,18 +726,19 @@ def _bwd_call_rows(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
                                spatial_shapes=spatial_shapes,
                                level_starts=level_starts, s_tile=s_tile,
                                P=P, acc_dtype=acc_dtype, groups=groups)
-    return pl.pallas_call(
+    nqt = q_pad // q_tile
+    gve, gvo, glx, gly, gat = pl.pallas_call(
         kernel,
-        grid=(BMG, q_pad // q_tile),
+        grid=(BMG, nqt),
         in_specs=[ranges_spec, value_spec, value_spec,
                   row_spec, row_spec, row_spec, g_spec],
         out_specs=(gval_spec, gval_spec, row_spec, row_spec, row_spec),
         out_shape=(
             jax.ShapeDtypeStruct((BM, S_pad, D), jnp.float32),
             jax.ShapeDtypeStruct((BM, S_pad, D), jnp.float32),
-            jax.ShapeDtypeStruct((BMG, LP, q_pad), jnp.float32),
-            jax.ShapeDtypeStruct((BMG, LP, q_pad), jnp.float32),
-            jax.ShapeDtypeStruct((BMG, LP, q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((BMG, nqt, LP, q_tile), jnp.float32),
+            jax.ShapeDtypeStruct((BMG, nqt, LP, q_tile), jnp.float32),
+            jax.ShapeDtypeStruct((BMG, nqt, LP, q_tile), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
                         pltpu.VMEM((s_tile, q_tile), jnp.float32)],
@@ -717,6 +746,10 @@ def _bwd_call_rows(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(ranges, value_e, value_o, lx, ly, at, g_bm)
+
+    def _untile(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(BMG, LP, q_pad)
+    return gve, gvo, _untile(glx), _untile(gly), _untile(gat)
 
 
 def _bwd_kernel_rows_temporal(ranges_ref, *refs, spatial_shapes,
@@ -758,9 +791,9 @@ def _bwd_kernel_rows_temporal(ranges_ref, *refs, spatial_shapes,
         vo_ref = vo_refs[lvl // L]
         gve_ref = gve_refs[lvl // L]
         gvo_ref = gvo_refs[lvl // L]
-        lx = lx_ref[0, lvl * P:(lvl + 1) * P, :]
-        ly = ly_ref[0, lvl * P:(lvl + 1) * P, :]
-        at = at_ref[0, lvl * P:(lvl + 1) * P, :]
+        lx = lx_ref[0, 0, lvl * P:(lvl + 1) * P, :]
+        ly = ly_ref[0, 0, lvl * P:(lvl + 1) * P, :]
+        at = at_ref[0, 0, lvl * P:(lvl + 1) * P, :]
         entries, parts = _level_entries_bwd(lx, ly, at, h, w)
         start_t = ranges_ref[0, 0, lvl, 0]
         num_t = ranges_ref[0, 0, lvl, 1]
@@ -831,9 +864,9 @@ def _bwd_kernel_rows_temporal(ranges_ref, *refs, spatial_shapes,
         gly_rows.append(gly_lvl)
         gat_rows.append(gat_lvl)
 
-    glx_ref[0] = jnp.concatenate(glx_rows, axis=0)
-    gly_ref[0] = jnp.concatenate(gly_rows, axis=0)
-    gat_ref[0] = jnp.concatenate(gat_rows, axis=0)
+    glx_ref[0, 0] = jnp.concatenate(glx_rows, axis=0)
+    gly_ref[0, 0] = jnp.concatenate(gly_rows, axis=0)
+    gat_ref[0, 0] = jnp.concatenate(gat_rows, axis=0)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
@@ -854,6 +887,7 @@ def _bwd_call_rows_temporal(spatial_shapes: Shapes, value_e, value_o, lx, ly,
     P = LP // len(fused_shapes)
     Lf = F * len(spatial_shapes)
     ranges = _row_ranges_bwd(lx, ly, fused_shapes, q_tile, s_tile, P)
+    lx, ly, at = (_tile_q(a, q_tile) for a in (lx, ly, at))
     level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
     acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
         else jnp.float32
@@ -872,7 +906,8 @@ def _bwd_call_rows_temporal(spatial_shapes: Shapes, value_e, value_o, lx, ly,
         return pl.BlockSpec((1, S_pad, D), index_map,
                             memory_space=pltpu.VMEM)
 
-    row_spec = pl.BlockSpec((1, LP, q_tile), lambda bm, qt: (bm, 0, qt),
+    row_spec = pl.BlockSpec((1, 1, LP, q_tile),
+                            lambda bm, qt: (bm, qt, 0, 0),
                             memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((1, q_tile, D), lambda bm, qt: (bm, qt, 0),
                           memory_space=pltpu.VMEM)
@@ -883,11 +918,12 @@ def _bwd_call_rows_temporal(spatial_shapes: Shapes, value_e, value_o, lx, ly,
                                level_starts=level_starts, s_tile=s_tile,
                                P=P, acc_dtype=acc_dtype, F=F)
     specs = [_value_spec(j) for j in range(F)]
+    nqt = q_pad // q_tile
     gval_shape = jax.ShapeDtypeStruct((TM, S_pad, D), jnp.float32)
-    row_shape = jax.ShapeDtypeStruct((TM, LP, q_pad), jnp.float32)
-    return pl.pallas_call(
+    row_shape = jax.ShapeDtypeStruct((TM, nqt, LP, q_tile), jnp.float32)
+    outs = pl.pallas_call(
         kernel,
-        grid=(TM, q_pad // q_tile),
+        grid=(TM, nqt),
         in_specs=[ranges_spec] + specs + specs
         + [row_spec, row_spec, row_spec, g_spec],
         out_specs=tuple([gval_spec] * (2 * F)
@@ -899,6 +935,10 @@ def _bwd_call_rows_temporal(spatial_shapes: Shapes, value_e, value_o, lx, ly,
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=_interpret(),
     )(ranges, *([value_e] * F), *([value_o] * F), lx, ly, at, g_bm)
+
+    def _untile(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(TM, LP, q_pad)
+    return tuple(outs[:2 * F]) + tuple(_untile(x) for x in outs[2 * F:])
 
 
 # ---------------------------------------------------------------------------
@@ -1170,8 +1210,8 @@ def _fwd_kernel_temporal(ranges_ref, *refs, spatial_shapes, level_starts,
     vo_refs = refs[F:2 * F]
     lx_ref, ly_ref, at_ref, out_ref, we_ref, wo_ref = refs[2 * F:]
     L = len(spatial_shapes)
-    D = out_ref.shape[1]
-    Qt = out_ref.shape[2]
+    D = out_ref.shape[-2]
+    Qt = out_ref.shape[-1]
     rows0 = jax.lax.broadcasted_iota(
         jnp.int32, (s_tile, Qt), 0).astype(jnp.float32)
     acc_e = jnp.zeros((D, Qt), jnp.float32)
@@ -1182,9 +1222,9 @@ def _fwd_kernel_temporal(ranges_ref, *refs, spatial_shapes, level_starts,
         h, w = spatial_shapes[ll]
         ve_ref = ve_refs[lvl // L]
         vo_ref = vo_refs[lvl // L]
-        lx = lx_ref[0, lvl * P:(lvl + 1) * P, :]
-        ly = ly_ref[0, lvl * P:(lvl + 1) * P, :]
-        at = at_ref[0, lvl * P:(lvl + 1) * P, :]
+        lx = lx_ref[0, 0, lvl * P:(lvl + 1) * P, :]
+        ly = ly_ref[0, 0, lvl * P:(lvl + 1) * P, :]
+        at = at_ref[0, 0, lvl * P:(lvl + 1) * P, :]
         entries = _level_entries(lx, ly, at, h, w)
         base_w = ranges_ref[0, 0, lvl, 0]
         num_t = ranges_ref[0, 0, lvl, 1]
@@ -1216,7 +1256,7 @@ def _fwd_kernel_temporal(ranges_ref, *refs, spatial_shapes, level_starts,
             return acc_e, acc_o
 
         acc_e, acc_o = jax.lax.fori_loop(0, num_t, body, (acc_e, acc_o))
-    out_ref[0] = (acc_e + acc_o).astype(out_ref.dtype)
+    out_ref[0, 0] = (acc_e + acc_o).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
@@ -1252,27 +1292,32 @@ def _fwd_call_temporal(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
         return pl.BlockSpec((1, S_pad, D), index_map,
                             memory_space=pltpu.VMEM)
 
-    row_spec = pl.BlockSpec((1, LP, q_tile), lambda bm, qt: (bm, 0, qt),
+    lx, ly, at = (_tile_q(a, q_tile) for a in (lx, ly, at))
+    row_spec = pl.BlockSpec((1, 1, LP, q_tile),
+                            lambda bm, qt: (bm, qt, 0, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_kernel_temporal,
                                spatial_shapes=spatial_shapes,
                                level_starts=level_starts,
                                s_tile=s_tile, P=P, acc_dtype=acc_dtype, F=F)
     specs = [_value_spec(j) for j in range(F)]
-    return pl.pallas_call(
+    nqt = q_pad // q_tile
+    out = pl.pallas_call(
         kernel,
-        grid=(TM, q_pad // q_tile),
+        grid=(TM, nqt),
         in_specs=[ranges_spec] + specs + specs
         + [row_spec, row_spec, row_spec],
-        out_specs=pl.BlockSpec((1, D, q_tile), lambda bm, qt: (bm, 0, qt),
+        out_specs=pl.BlockSpec((1, 1, D, q_tile),
+                               lambda bm, qt: (bm, qt, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((TM, D, q_pad), value_e.dtype),
+        out_shape=jax.ShapeDtypeStruct((TM, nqt, D, q_tile), value_e.dtype),
         scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
                         pltpu.VMEM((s_tile, q_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(ranges, *([value_e] * F), *([value_o] * F), lx, ly, at)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(TM, D, q_pad)
 
 
 def _temporal_frame_table(rule, T: int) -> np.ndarray:
@@ -1403,14 +1448,14 @@ def _fwd_kernel_temporal_proj(ranges_ref, *refs, spatial_shapes, level_starts,
     (rx_ref, ry_ref, cx_ref, cy_ref, tx_ref, ty_ref, ca_ref, ta_ref,
      out_ref, we_ref, wo_ref) = refs[2 * F:]
     L = len(spatial_shapes)
-    D = out_ref.shape[1]
-    Qt = out_ref.shape[2]
+    D = out_ref.shape[-2]
+    Qt = out_ref.shape[-1]
     f32 = jnp.float32
     rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0).astype(f32)
 
     # Joint softmax over current + temporal logits (per query column).
-    cl = ca_ref[0].astype(f32)                       # (L·P, Qt)
-    tl = ta_ref[0].astype(f32)                       # (W·L·P, Qt)
+    cl = ca_ref[0, 0].astype(f32)                    # (L·P, Qt)
+    tl = ta_ref[0, 0].astype(f32)                    # (W·L·P, Qt)
     mx = jnp.maximum(jnp.max(cl, axis=0, keepdims=True),
                      jnp.max(tl, axis=0, keepdims=True))
     ec = jnp.exp(cl - mx)
@@ -1428,19 +1473,19 @@ def _fwd_kernel_temporal_proj(ranges_ref, *refs, spatial_shapes, level_starts,
         ve_ref = ve_refs[lvl // L]
         vo_ref = vo_refs[lvl // L]
         if lvl < L:
-            offx = cx_ref[0, ll * P:(ll + 1) * P, :].astype(f32)
-            offy = cy_ref[0, ll * P:(ll + 1) * P, :].astype(f32)
+            offx = cx_ref[0, 0, ll * P:(ll + 1) * P, :].astype(f32)
+            offy = cy_ref[0, 0, ll * P:(ll + 1) * P, :].astype(f32)
             at = att_c[ll * P:(ll + 1) * P, :]
-            rxl = rx_ref[0, ll:ll + 1, :]
-            ryl = ry_ref[0, ll:ll + 1, :]
+            rxl = rx_ref[0, 0, ll:ll + 1, :]
+            ryl = ry_ref[0, 0, ll:ll + 1, :]
         else:
             k = lvl - L
-            offx = tx_ref[0, k * P:(k + 1) * P, :].astype(f32)
-            offy = ty_ref[0, k * P:(k + 1) * P, :].astype(f32)
+            offx = tx_ref[0, 0, k * P:(k + 1) * P, :].astype(f32)
+            offy = ty_ref[0, 0, k * P:(k + 1) * P, :].astype(f32)
             at = att_t[k * P:(k + 1) * P, :]
             # temporal reference point = level-0 reference (reference L447)
-            rxl = rx_ref[0, 0:1, :]
-            ryl = ry_ref[0, 0:1, :]
+            rxl = rx_ref[0, 0, 0:1, :]
+            ryl = ry_ref[0, 0, 0:1, :]
         lx = rxl + offx * np.float32(1.0 / w)
         ly = ryl + offy * np.float32(1.0 / h)
         entries = _level_entries(lx, ly, at, h, w)
@@ -1474,7 +1519,7 @@ def _fwd_kernel_temporal_proj(ranges_ref, *refs, spatial_shapes, level_starts,
             return acc_e, acc_o
 
         acc_e, acc_o = jax.lax.fori_loop(0, num_t, body, (acc_e, acc_o))
-    out_ref[0] = (acc_e + acc_o).astype(out_ref.dtype)
+    out_ref[0, 0] = (acc_e + acc_o).astype(out_ref.dtype)
 
 
 def _row_ranges_proj(rx, ry, cx, cy, tx, ty, spatial_shapes: Shapes, F: int,
@@ -1541,16 +1586,16 @@ def _ranges_proj_kernel(rx_ref, ry_ref, cx_ref, cy_ref, tx_ref, ty_ref,
     for lvl in range(F * L):
         h, w = spatial_shapes[lvl % L]
         if lvl < L:
-            rxl = rx_ref[0, lvl:lvl + 1, :].astype(f32)        # (1, qt)
-            ryl = ry_ref[0, lvl:lvl + 1, :].astype(f32)
-            ox = cx_ref[0, lvl * P:(lvl + 1) * P, :].astype(f32)
-            oy = cy_ref[0, lvl * P:(lvl + 1) * P, :].astype(f32)
+            rxl = rx_ref[0, 0, lvl:lvl + 1, :].astype(f32)     # (1, qt)
+            ryl = ry_ref[0, 0, lvl:lvl + 1, :].astype(f32)
+            ox = cx_ref[0, 0, lvl * P:(lvl + 1) * P, :].astype(f32)
+            oy = cy_ref[0, 0, lvl * P:(lvl + 1) * P, :].astype(f32)
         else:
-            rxl = rx_ref[0, 0:1, :].astype(f32)
-            ryl = ry_ref[0, 0:1, :].astype(f32)
+            rxl = rx_ref[0, 0, 0:1, :].astype(f32)
+            ryl = ry_ref[0, 0, 0:1, :].astype(f32)
             j = lvl - L
-            ox = tx_ref[0, j * P:(j + 1) * P, :].astype(f32)
-            oy = ty_ref[0, j * P:(j + 1) * P, :].astype(f32)
+            ox = tx_ref[0, 0, j * P:(j + 1) * P, :].astype(f32)
+            oy = ty_ref[0, 0, j * P:(j + 1) * P, :].astype(f32)
         x = (rxl + ox * np.float32(1.0 / w)) * w - 0.5         # (P, qt)
         y = (ryl + oy * np.float32(1.0 / h)) * h - 0.5
         x0 = jnp.floor(x)
@@ -1570,26 +1615,31 @@ def _ranges_proj_kernel(rx_ref, ry_ref, cx_ref, cy_ref, tx_ref, ty_ref,
 
 def _row_ranges_proj_pallas(rx, ry, cx, cy, tx, ty, spatial_shapes: Shapes,
                             F: int, q_tile: int, s_tile: int, M: int):
-    """Pallas launcher for `_ranges_proj_kernel` → (T·M, nqt, Lf, 2) i32."""
-    T, L, q_pad = rx.shape
-    TM, LP, _ = cx.shape
+    """Pallas launcher for `_ranges_proj_kernel` → (T·M, nqt, Lf, 2) i32.
+
+    Operands arrive PRE-TILED (`_tile_q` layout): rx/ry (T, nqt, L, q_tile),
+    cx/cy (T·M, nqt, L·P, q_tile), tx/ty (T·M, nqt, W·L·P, q_tile)."""
+    T, nqt, L, q_tile_ = rx.shape
+    assert q_tile_ == q_tile
+    TM, _, LP, _ = cx.shape
     P = LP // L
     W = F - 1
-    nqt = q_pad // q_tile
     Lf = F * L
     if W == 0:
         # Single-frame form (image encoder): the kernel never reads the
         # temporal refs, but the specs must be non-empty — pass a 1-row
         # dummy so the unused operands DMA one row per grid step instead of
         # re-staging the full (L·P, q_tile) current-frame block twice.
-        tx = jnp.zeros((TM, 1, q_pad), cx.dtype)
+        tx = jnp.zeros((TM, nqt, 1, q_tile), cx.dtype)
         ty = tx
-    ref_spec = pl.BlockSpec((1, L, q_tile), lambda bm, qt: (bm // M, 0, qt),
+    ref_spec = pl.BlockSpec((1, 1, L, q_tile),
+                            lambda bm, qt: (bm // M, qt, 0, 0),
                             memory_space=pltpu.VMEM)
-    cur_spec = pl.BlockSpec((1, L * P, q_tile), lambda bm, qt: (bm, 0, qt),
+    cur_spec = pl.BlockSpec((1, 1, L * P, q_tile),
+                            lambda bm, qt: (bm, qt, 0, 0),
                             memory_space=pltpu.VMEM)
-    tmp_spec = pl.BlockSpec((1, max(W, 1) * L * P if W else 1, q_tile),
-                            lambda bm, qt: (bm, 0, qt),
+    tmp_spec = pl.BlockSpec((1, 1, max(W, 1) * L * P if W else 1, q_tile),
+                            lambda bm, qt: (bm, qt, 0, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_ranges_proj_kernel,
                                spatial_shapes=tuple(spatial_shapes), F=F,
@@ -1651,6 +1701,10 @@ def _fwd_call_temporal_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry,
     L = len(spatial_shapes)
     q_pad = rx.shape[2]
     P = cx.shape[1] // L
+    # Contiguous per-program row blocks (see `_tile_q`): one transpose per
+    # operand here instead of ~300 strided 1 KB DMA chunks per program.
+    rx, ry, cx, cy, tx, ty, ca, ta = (
+        _tile_q(a, q_tile) for a in (rx, ry, cx, cy, tx, ty, ca, ta))
     ranges = _row_ranges_proj_pallas(rx, ry, cx, cy, tx, ty, spatial_shapes,
                                      F, q_tile, s_tile, M)
     level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
@@ -1673,10 +1727,12 @@ def _fwd_call_temporal_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry,
                             memory_space=pltpu.VMEM)
 
     def row_spec(rows):
-        return pl.BlockSpec((1, rows, q_tile), lambda bm, qt: (bm, 0, qt),
+        return pl.BlockSpec((1, 1, rows, q_tile),
+                            lambda bm, qt: (bm, qt, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    ref_spec = pl.BlockSpec((1, L, q_tile), lambda bm, qt: (bm // M, 0, qt),
+    ref_spec = pl.BlockSpec((1, 1, L, q_tile),
+                            lambda bm, qt: (bm // M, qt, 0, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_kernel_temporal_proj,
                                spatial_shapes=spatial_shapes,
@@ -1684,17 +1740,19 @@ def _fwd_call_temporal_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry,
                                s_tile=s_tile, P=P, acc_dtype=acc_dtype, F=F)
     specs = [_value_spec(j) for j in range(F)]
     W = F - 1
-    return pl.pallas_call(
+    nqt = q_pad // q_tile
+    out = pl.pallas_call(
         kernel,
-        grid=(TM, q_pad // q_tile),
+        grid=(TM, nqt),
         in_specs=[ranges_spec] + specs + specs
         + [ref_spec, ref_spec,
            row_spec(L * P), row_spec(L * P),
            row_spec(W * L * P), row_spec(W * L * P),
            row_spec(L * P), row_spec(W * L * P)],
-        out_specs=pl.BlockSpec((1, D, q_tile), lambda bm, qt: (bm, 0, qt),
+        out_specs=pl.BlockSpec((1, 1, D, q_tile),
+                               lambda bm, qt: (bm, qt, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((TM, D, q_pad), value_e.dtype),
+        out_shape=jax.ShapeDtypeStruct((TM, nqt, D, q_tile), value_e.dtype),
         scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
                         pltpu.VMEM((s_tile, q_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -1702,6 +1760,7 @@ def _fwd_call_temporal_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry,
         interpret=_interpret(),
     )(ranges, *([value_e] * F), *([value_o] * F), rx, ry, cx, cy, tx, ty,
       ca, ta)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(TM, D, q_pad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 10, 11, 12))
@@ -1774,12 +1833,12 @@ def _fwd_kernel_proj(ranges_ref, ve_ref, vo_ref, rx_ref, ry_ref, cx_ref,
     """Single-frame analog of `_fwd_kernel_temporal_proj`: raw offset/logit
     rows in, per-head softmax over L·P and location math in-kernel
     (reference ms_deform_attn.py L99-117)."""
-    D = out_ref.shape[1]
-    Qt = out_ref.shape[2]
+    D = out_ref.shape[-2]
+    Qt = out_ref.shape[-1]
     f32 = jnp.float32
     rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0).astype(f32)
 
-    cl = ca_ref[0].astype(f32)                        # (L·P, Qt)
+    cl = ca_ref[0, 0].astype(f32)                     # (L·P, Qt)
     mx = jnp.max(cl, axis=0, keepdims=True)
     ec = jnp.exp(cl - mx)
     att = ec / jnp.sum(ec, axis=0, keepdims=True)
@@ -1787,11 +1846,11 @@ def _fwd_kernel_proj(ranges_ref, ve_ref, vo_ref, rx_ref, ry_ref, cx_ref,
     acc_e = jnp.zeros((D, Qt), f32)
     acc_o = jnp.zeros((D, Qt), f32)
     for lvl, (h, w) in enumerate(spatial_shapes):
-        offx = cx_ref[0, lvl * P:(lvl + 1) * P, :].astype(f32)
-        offy = cy_ref[0, lvl * P:(lvl + 1) * P, :].astype(f32)
+        offx = cx_ref[0, 0, lvl * P:(lvl + 1) * P, :].astype(f32)
+        offy = cy_ref[0, 0, lvl * P:(lvl + 1) * P, :].astype(f32)
         at = att[lvl * P:(lvl + 1) * P, :]
-        lx = rx_ref[0, lvl:lvl + 1, :] + offx * np.float32(1.0 / w)
-        ly = ry_ref[0, lvl:lvl + 1, :] + offy * np.float32(1.0 / h)
+        lx = rx_ref[0, 0, lvl:lvl + 1, :] + offx * np.float32(1.0 / w)
+        ly = ry_ref[0, 0, lvl:lvl + 1, :] + offy * np.float32(1.0 / h)
         entries = _level_entries(lx, ly, at, h, w)
         base_w = ranges_ref[0, 0, lvl, 0]
         num_t = ranges_ref[0, 0, lvl, 1]
@@ -1822,7 +1881,7 @@ def _fwd_kernel_proj(ranges_ref, ve_ref, vo_ref, rx_ref, ry_ref, cx_ref,
             return acc_e, acc_o
 
         acc_e, acc_o = jax.lax.fori_loop(0, num_t, body, (acc_e, acc_o))
-    out_ref[0] = (acc_e + acc_o).astype(out_ref.dtype)
+    out_ref[0, 0] = (acc_e + acc_o).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 8, 9))
@@ -1834,6 +1893,7 @@ def _fwd_call_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry, cx, cy,
     L = len(spatial_shapes)
     q_pad = rx.shape[2]
     P = cx.shape[1] // L
+    rx, ry, cx, cy, ca = (_tile_q(a, q_tile) for a in (rx, ry, cx, cy, ca))
     ranges = _row_ranges_proj_pallas(rx, ry, cx, cy, cx, cy, spatial_shapes,
                                      1, q_tile, s_tile, M)
     level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
@@ -1841,30 +1901,35 @@ def _fwd_call_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry, cx, cy,
         else jnp.float32
     val_spec = pl.BlockSpec((1, S_pad, D), lambda bm, qt: (bm, 0, 0),
                             memory_space=pltpu.VMEM)
-    ref_spec = pl.BlockSpec((1, L, q_tile), lambda bm, qt: (bm // M, 0, qt),
+    ref_spec = pl.BlockSpec((1, 1, L, q_tile),
+                            lambda bm, qt: (bm // M, qt, 0, 0),
                             memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, L * P, q_tile), lambda bm, qt: (bm, 0, qt),
+    row_spec = pl.BlockSpec((1, 1, L * P, q_tile),
+                            lambda bm, qt: (bm, qt, 0, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_kernel_proj,
                                spatial_shapes=spatial_shapes,
                                level_starts=level_starts,
                                s_tile=s_tile, P=P, acc_dtype=acc_dtype)
-    return pl.pallas_call(
+    nqt = q_pad // q_tile
+    out = pl.pallas_call(
         kernel,
-        grid=(BM, q_pad // q_tile),
+        grid=(BM, nqt),
         in_specs=[pl.BlockSpec((1, 1, L, 2), lambda bm, qt: (bm, qt, 0, 0),
                                memory_space=pltpu.SMEM),
                   val_spec, val_spec, ref_spec, ref_spec,
                   row_spec, row_spec, row_spec],
-        out_specs=pl.BlockSpec((1, D, q_tile), lambda bm, qt: (bm, 0, qt),
+        out_specs=pl.BlockSpec((1, 1, D, q_tile),
+                               lambda bm, qt: (bm, qt, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BM, D, q_pad), value_e.dtype),
+        out_shape=jax.ShapeDtypeStruct((BM, nqt, D, q_tile), value_e.dtype),
         scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
                         pltpu.VMEM((s_tile, q_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(ranges, value_e, value_o, rx, ry, cx, cy, ca)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(BM, D, q_pad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 7, 8))

@@ -527,7 +527,7 @@ class TestRangesProjPallas:
     def test_matches_xla_reference(self, rng, rule):
         from devis_tpu.ops.ms_deform_attn_pallas import (
             S_TILE, _row_ranges_proj, _row_ranges_proj_pallas, _round_up,
-            _rule_window)
+            _rule_window, _tile_q)
         T, M, P = 3, 2, 2
         L = len(SHAPES)
         W = _rule_window(rule, T)
@@ -546,6 +546,8 @@ class TestRangesProjPallas:
         tx, ty = rows(W * L), rows(W * L)
         want = _row_ranges_proj(rx, ry, cx, cy, tx, ty, SHAPES, F,
                                 128, S_TILE)
-        got = _row_ranges_proj_pallas(rx, ry, cx, cy, tx, ty, SHAPES, F,
-                                      128, S_TILE, M)
+        # the launcher takes PRE-TILED (`_tile_q`) operands
+        got = _row_ranges_proj_pallas(
+            *(_tile_q(a, 128) for a in (rx, ry, cx, cy, tx, ty)),
+            SHAPES, F, 128, S_TILE, M)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
