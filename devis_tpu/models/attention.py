@@ -94,8 +94,12 @@ class TransposedDense(nn.Module):
     (in, features), bias (features,)) applied in transposed form: takes the
     q-major (T, Q, C) input but produces (T, features, Q) via
     `einsum('co,tqc->toq')`, so projection outputs are born in the Pallas
-    kernel's rows layout with no transpose copy. With `split_xy`, the even
-    and odd output channels (x/y offset pairs) are returned as two arrays by
+    kernel's rows layout with no transpose copy. With a 4-dim input
+    (T, nqt, q_tile, C) it produces (T, nqt, features, q_tile) — the
+    kernel's PRE-TILED layout (`_tile_q`), again straight out of the
+    matmul: measured ~17 ms/encoder-layer of XLA transposes disappear when
+    the tiling never exists as a copy. With `split_xy`, the even and odd
+    output channels (x/y offset pairs) are returned as two arrays by
     slicing the WEIGHT columns — free compared to slicing activations."""
     features: int
     kernel_init: Any = nn.initializers.lecun_normal()
@@ -111,6 +115,15 @@ class TransposedDense(nn.Module):
         k = kernel.astype(self.dtype)
         b = bias.astype(self.dtype)
         xd = x.astype(self.dtype)
+        if xd.ndim == 4:
+            if not self.split_xy:
+                return (jnp.einsum("co,tnqc->tnoq", k, xd)
+                        + b[None, None, :, None])
+            ox = jnp.einsum("co,tnqc->tnoq", k[:, 0::2], xd) \
+                + b[0::2][None, None, :, None]
+            oy = jnp.einsum("co,tnqc->tnoq", k[:, 1::2], xd) \
+                + b[1::2][None, None, :, None]
+            return ox, oy
         if not self.split_xy:
             return jnp.einsum("co,tqc->toq", k, xd) + b[None, :, None]
         ox = jnp.einsum("co,tqc->toq", k[:, 0::2], xd) + b[0::2][None, :, None]
@@ -181,8 +194,11 @@ class MSDeformAttn(nn.Module):
         M, L, P = self.n_heads, self.n_levels, self.n_points
         q_tile = 128 if Q <= 128 else Q_TILE
         q_pad = _round_up(Q, q_tile)
+        nqt = q_pad // q_tile
         qp = query if q_pad == Q else jnp.pad(
             query, ((0, 0), (0, q_pad - Q), (0, 0)))
+        # tile-native projections — see `_fused_rows` in the temporal module
+        qp = qp.reshape(B, nqt, q_tile, qp.shape[-1])
         f32 = jnp.float32
         rx = jnp.transpose(reference_points[..., 0], (0, 2, 1)).astype(f32)
         ry = jnp.transpose(reference_points[..., 1], (0, 2, 1)).astype(f32)
@@ -190,12 +206,10 @@ class MSDeformAttn(nn.Module):
             pad = ((0, 0), (0, 0), (0, q_pad - Q))
             rx = jnp.pad(rx, pad, constant_values=-10.0)
             ry = jnp.pad(ry, pad, constant_values=-10.0)
+        rx = jnp.transpose(rx.reshape(B, L, nqt, q_tile), (0, 2, 1, 3))
+        ry = jnp.transpose(ry.reshape(B, L, nqt, q_tile), (0, 2, 1, 3))
         cx, cy = self._offsets_dense(TransposedDense, split_xy=True)(qp)
         ca = self._att_dense(TransposedDense)(qp)
-        BM = B * M
-        cx = cx.reshape(BM, L * P, q_pad)
-        cy = cy.reshape(BM, L * P, q_pad)
-        ca = ca.reshape(BM, L * P, q_pad)
         return ms_deform_attn_proj(value, spatial_shapes, rx, ry, cx, cy,
                                    ca, Q, q_tile)
 
@@ -397,8 +411,14 @@ class TemporalMSDeformAttnEncoder(TemporalMSDeformAttnBase):
         rule = temporal_frame_rule(T, self.t_window, self.connect_all)
         q_tile = 128 if Q <= 128 else Q_TILE
         q_pad = _round_up(Q, q_tile)
+        nqt = q_pad // q_tile
         qp = query if q_pad == Q else jnp.pad(
             query, ((0, 0), (0, q_pad - Q), (0, 0)))
+        # Query fed as tiles → every projection output is BORN in the
+        # kernel's pre-tiled head-slab layout (T, nqt, channels, q_tile);
+        # the tiling never exists as an XLA transpose copy (measured
+        # ~17 ms/encoder-layer at YT-VIS eval shapes).
+        qp = qp.reshape(T, nqt, q_tile, qp.shape[-1])
         # Per-level reference rows; padded queries carry −10 so every tap of
         # theirs lands out of bounds and contributes nothing.
         f32 = jnp.float32
@@ -408,23 +428,16 @@ class TemporalMSDeformAttnEncoder(TemporalMSDeformAttnBase):
             pad = ((0, 0), (0, 0), (0, q_pad - Q))
             rx = jnp.pad(rx, pad, constant_values=-10.0)
             ry = jnp.pad(ry, pad, constant_values=-10.0)
+        rx = jnp.transpose(rx.reshape(T, L, nqt, q_tile), (0, 2, 1, 3))
+        ry = jnp.transpose(ry.reshape(T, L, nqt, q_tile), (0, 2, 1, 3))
 
-        # Projections born in rows layout: (T, M·…·Q) head-major channels,
-        # so the (T·M, rows, q_pad) reshapes below are zero-copy; the x/y
-        # split happens on the WEIGHT columns (free).
+        # x/y split happens on the WEIGHT columns (free).
         cx, cy = self._sampling_offsets_dense(
             TransposedDense, split_xy=True)(qp)
         tx, ty = self._temporal_sampling_offsets_dense(
             TransposedDense, split_xy=True)(qp)
         ca = self._attention_weights_dense(TransposedDense)(qp)
         ta = self._temporal_attention_weights_dense(TransposedDense)(qp)
-        TM = T * M
-        cx = cx.reshape(TM, L * P, q_pad)
-        cy = cy.reshape(TM, L * P, q_pad)
-        tx = tx.reshape(TM, W * L * P, q_pad)
-        ty = ty.reshape(TM, W * L * P, q_pad)
-        ca = ca.reshape(TM, L * P, q_pad)
-        ta = ta.reshape(TM, W * L * P, q_pad)
         out = ms_deform_attn_temporal_proj(value, spatial_shapes, rx, ry,
                                            cx, cy, tx, ty, ca, ta, Q, rule,
                                            q_tile)

@@ -115,6 +115,32 @@ def _tile_q(x, q_tile: int):
                          (0, 2, 1, 3))
 
 
+def _tile_headmajor(x, M: int, q_tile: int):
+    """(T·M, rows, q_pad) → head-slab tiled (T, nqt, M·rows, q_tile) — the
+    layout `TransposedDense` emits natively from (T, nqt, q_tile, C) query
+    tiles (head-major feature channels). Test/bench helper; the production
+    path never materializes the untiled form."""
+    TM, rows, q_pad = x.shape
+    T = TM // M
+    nqt = q_pad // q_tile
+    return jnp.transpose(x.reshape(T, M, rows, nqt, q_tile),
+                         (0, 3, 1, 2, 4)).reshape(T, nqt, M * rows, q_tile)
+
+
+def _untile_headmajor(x, M: int):
+    """Inverse of `_tile_headmajor` (differentiable; backward-path only)."""
+    T, nqt, MR, q_tile = x.shape
+    rows = MR // M
+    return jnp.transpose(x.reshape(T, nqt, M, rows, q_tile),
+                         (0, 2, 3, 1, 4)).reshape(T * M, rows, nqt * q_tile)
+
+
+def _untile_ref(x):
+    """(T, nqt, L, q_tile) → (T, L, q_pad) (differentiable)."""
+    T, nqt, L, q_tile = x.shape
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(T, L, nqt * q_tile)
+
+
 # ---------------------------------------------------------------------------
 # Tap preparation (differentiable XLA elementwise)
 # ---------------------------------------------------------------------------
@@ -1617,30 +1643,34 @@ def _row_ranges_proj_pallas(rx, ry, cx, cy, tx, ty, spatial_shapes: Shapes,
                             F: int, q_tile: int, s_tile: int, M: int):
     """Pallas launcher for `_ranges_proj_kernel` → (T·M, nqt, Lf, 2) i32.
 
-    Operands arrive PRE-TILED (`_tile_q` layout): rx/ry (T, nqt, L, q_tile),
-    cx/cy (T·M, nqt, L·P, q_tile), tx/ty (T·M, nqt, W·L·P, q_tile)."""
+    Operands arrive PRE-TILED in head-slab layout (tile-native
+    `TransposedDense` outputs): rx/ry (T, nqt, L, q_tile),
+    cx/cy (T, nqt, M·L·P, q_tile), tx/ty (T, nqt, M·W·L·P, q_tile)."""
     T, nqt, L, q_tile_ = rx.shape
     assert q_tile_ == q_tile
-    TM, _, LP, _ = cx.shape
+    LP = cx.shape[2] // M
     P = LP // L
     W = F - 1
     Lf = F * L
+    TM = T * M
     if W == 0:
         # Single-frame form (image encoder): the kernel never reads the
         # temporal refs, but the specs must be non-empty — pass a 1-row
         # dummy so the unused operands DMA one row per grid step instead of
         # re-staging the full (L·P, q_tile) current-frame block twice.
-        tx = jnp.zeros((TM, nqt, 1, q_tile), cx.dtype)
+        tx = jnp.zeros((T, nqt, 1, q_tile), cx.dtype)
         ty = tx
     ref_spec = pl.BlockSpec((1, 1, L, q_tile),
                             lambda bm, qt: (bm // M, qt, 0, 0),
                             memory_space=pltpu.VMEM)
     cur_spec = pl.BlockSpec((1, 1, L * P, q_tile),
-                            lambda bm, qt: (bm, qt, 0, 0),
+                            lambda bm, qt: (bm // M, qt, bm % M, 0),
                             memory_space=pltpu.VMEM)
-    tmp_spec = pl.BlockSpec((1, 1, max(W, 1) * L * P if W else 1, q_tile),
-                            lambda bm, qt: (bm, qt, 0, 0),
-                            memory_space=pltpu.VMEM)
+    tmp_spec = pl.BlockSpec(
+        (1, 1, max(W, 1) * L * P if W else 1, q_tile),
+        (lambda bm, qt: (bm // M, qt, bm % M, 0)) if W
+        else (lambda bm, qt: (bm // M, qt, 0, 0)),
+        memory_space=pltpu.VMEM)
     kernel = functools.partial(_ranges_proj_kernel,
                                spatial_shapes=tuple(spatial_shapes), F=F,
                                s_tile=s_tile, P=P)
@@ -1699,12 +1729,15 @@ def _fwd_call_temporal_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry,
     M = TM // T
     F = 1 + _rule_window(rule, T)
     L = len(spatial_shapes)
-    q_pad = rx.shape[2]
-    P = cx.shape[1] // L
-    # Contiguous per-program row blocks (see `_tile_q`): one transpose per
-    # operand here instead of ~300 strided 1 KB DMA chunks per program.
-    rx, ry, cx, cy, tx, ty, ca, ta = (
-        _tile_q(a, q_tile) for a in (rx, ry, cx, cy, tx, ty, ca, ta))
+    # PRE-TILED head-slab operand contract (produced tile-native by
+    # `TransposedDense` on (T, nqt, q_tile, C) query tiles — the tiling
+    # never exists as an XLA transpose copy, which measured ~17 ms/layer):
+    #   rx/ry: (T, nqt, L, q_tile); cx/cy/ca: (T, nqt, M·L·P, q_tile);
+    #   tx/ty/ta: (T, nqt, M·W·L·P, q_tile). A program (bm = t·M + m, qt)
+    #   reads block (t, qt, head-slab m, :) — strided-free, transpose-free.
+    nqt = rx.shape[1]
+    q_pad = nqt * q_tile
+    P = cx.shape[2] // (M * L)
     ranges = _row_ranges_proj_pallas(rx, ry, cx, cy, tx, ty, spatial_shapes,
                                      F, q_tile, s_tile, M)
     level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
@@ -1727,8 +1760,9 @@ def _fwd_call_temporal_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry,
                             memory_space=pltpu.VMEM)
 
     def row_spec(rows):
+        # dim-2 block index bm % M selects head m's slab of `rows` rows
         return pl.BlockSpec((1, 1, rows, q_tile),
-                            lambda bm, qt: (bm, qt, 0, 0),
+                            lambda bm, qt: (bm // M, qt, bm % M, 0),
                             memory_space=pltpu.VMEM)
 
     ref_spec = pl.BlockSpec((1, 1, L, q_tile),
@@ -1769,13 +1803,15 @@ def ms_deform_attn_temporal_proj(value, spatial_shapes: Shapes, rx, ry,
                                  rule=("all",), q_tile: int = 0):
     """Projection-fused temporal attention (encoder semantics).
 
-    value: (T, S, M, D) per-frame; rx/ry: (T, L, q_pad) per-level reference
-    points (padded queries carry −10); cx/cy: (T·M, L·P, q_pad) current
-    offsets; tx/ty: (T·M, W·L·P, q_pad) temporal offsets (frame-major level
-    order); ca/ta: pre-softmax attention logits of the same row shapes.
-    Locations = ref + off/(w_l, h_l) with the temporal reference pinned to
-    level 0, weights = joint softmax over current+temporal — both computed
-    in-kernel. Returns (T, n_queries, M·D)."""
+    PRE-TILED head-slab operands (see `_tile_headmajor`): rx/ry
+    (T, nqt, L, q_tile) per-level reference points (padded queries carry
+    −10); cx/cy (T, nqt, M·L·P, q_tile) current offsets; tx/ty
+    (T, nqt, M·W·L·P, q_tile) temporal offsets (frame-major level order);
+    ca/ta pre-softmax attention logits of the same shapes; value
+    (T, S, M, D) per-frame. Locations = ref + off/(w_l, h_l) with the
+    temporal reference pinned to level 0, weights = joint softmax over
+    current+temporal — both computed in-kernel. Returns
+    (T, n_queries, M·D)."""
     out, _ = _temporal_proj_fwd(value, spatial_shapes, rx, ry, cx, cy, tx,
                                 ty, ca, ta, n_queries, rule, q_tile)
     return out
@@ -1784,9 +1820,10 @@ def ms_deform_attn_temporal_proj(value, spatial_shapes: Shapes, rx, ry,
 def _temporal_proj_fwd(value, spatial_shapes, rx, ry, cx, cy, tx, ty, ca, ta,
                        n_queries, rule, q_tile):
     T, S, M, D = value.shape
-    q_pad = rx.shape[2]
+    q_tile_in = rx.shape[3]
+    q_pad = rx.shape[1] * q_tile_in
     q_tile = q_tile or (128 if q_pad <= 128 else Q_TILE)
-    assert q_pad % q_tile == 0, (q_pad, q_tile)
+    assert q_tile == q_tile_in, (q_tile, q_tile_in)
     value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(T * M, S, D)
     value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
     out_bm = _fwd_call_temporal_proj(tuple(spatial_shapes), value_e, value_o,
@@ -1805,8 +1842,15 @@ def _temporal_proj_fwd_fwd(value, spatial_shapes, rx, ry, cx, cy, tx, ty,
 
 def _temporal_proj_fwd_bwd(spatial_shapes, n_queries, rule, q_tile, res, g):
     value, rx, ry, cx, cy, tx, ty, ca, ta = res
+    M = value.shape[2]
     F = 1 + _rule_window(rule, value.shape[0])
-    build = functools.partial(_build_rows_from_proj, tuple(spatial_shapes), F)
+
+    def build(rx, ry, cx, cy, tx, ty, ca, ta):
+        # tiled head-slab residuals → untiled rows for the XLA oracle
+        # (training-path-only transposes; eval never materializes these)
+        return _build_rows_from_proj(
+            tuple(spatial_shapes), F, _untile_ref(rx), _untile_ref(ry),
+            *(_untile_headmajor(a, M) for a in (cx, cy, tx, ty, ca, ta)))
     (lx, ly, at), vjp_rows = jax.vjp(build, rx, ry, cx, cy, tx, ty, ca, ta)
     gval, glx, gly, gat = _temporal_bwd_core(
         spatial_shapes, n_queries, rule, q_tile, value, lx, ly, at, g)
@@ -1891,9 +1935,11 @@ def _fwd_call_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry, cx, cy,
     B = rx.shape[0]
     M = BM // B
     L = len(spatial_shapes)
-    q_pad = rx.shape[2]
-    P = cx.shape[1] // L
-    rx, ry, cx, cy, ca = (_tile_q(a, q_tile) for a in (rx, ry, cx, cy, ca))
+    # head-slab tiled contract: rx/ry (B, nqt, L, q_tile),
+    # cx/cy/ca (B, nqt, M·L·P, q_tile) — see `_fwd_call_temporal_proj`
+    nqt = rx.shape[1]
+    q_pad = nqt * q_tile
+    P = cx.shape[2] // (M * L)
     ranges = _row_ranges_proj_pallas(rx, ry, cx, cy, cx, cy, spatial_shapes,
                                      1, q_tile, s_tile, M)
     level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
@@ -1905,7 +1951,7 @@ def _fwd_call_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry, cx, cy,
                             lambda bm, qt: (bm // M, qt, 0, 0),
                             memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, 1, L * P, q_tile),
-                            lambda bm, qt: (bm, qt, 0, 0),
+                            lambda bm, qt: (bm // M, qt, bm % M, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_kernel_proj,
                                spatial_shapes=spatial_shapes,
@@ -1937,9 +1983,10 @@ def ms_deform_attn_proj(value, spatial_shapes: Shapes, rx, ry, cx, cy, ca,
                         n_queries: int, q_tile: int = 0):
     """Projection-fused single-frame attention (encoder semantics).
 
-    value: (B, S, M, D); rx/ry: (B, L, q_pad) per-level reference points
-    (padded queries carry −10); cx/cy: (B·M, L·P, q_pad) raw offsets; ca:
-    pre-softmax attention logits of the same row shape. Locations
+    PRE-TILED head-slab operands (see `_tile_headmajor`): rx/ry
+    (B, nqt, L, q_tile) per-level reference points (padded queries carry
+    −10); cx/cy (B, nqt, M·L·P, q_tile) raw offsets; ca pre-softmax
+    attention logits of the same shape; value (B, S, M, D). Locations
     = ref + off/(w_l, h_l) and the per-head softmax over L·P both run
     in-kernel. Returns (B, n_queries, M·D)."""
     out, _ = _proj_fwd(value, spatial_shapes, rx, ry, cx, cy, ca,
@@ -1949,9 +1996,10 @@ def ms_deform_attn_proj(value, spatial_shapes: Shapes, rx, ry, cx, cy, ca,
 
 def _proj_fwd(value, spatial_shapes, rx, ry, cx, cy, ca, n_queries, q_tile):
     B, S, M, D = value.shape
-    q_pad = rx.shape[2]
+    q_tile_in = rx.shape[3]
+    q_pad = rx.shape[1] * q_tile_in
     q_tile = q_tile or (128 if q_pad <= 128 else Q_TILE)
-    assert q_pad % q_tile == 0, (q_pad, q_tile)
+    assert q_tile == q_tile_in, (q_tile, q_tile_in)
     value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
     value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
     out_bm = _fwd_call_proj(tuple(spatial_shapes), value_e, value_o,
@@ -1991,8 +2039,12 @@ def _proj_fwd_fwd(value, spatial_shapes, rx, ry, cx, cy, ca, n_queries,
 
 def _proj_fwd_bwd(spatial_shapes, n_queries, q_tile, res, g):
     value, rx, ry, cx, cy, ca = res
-    build = functools.partial(_build_rows_from_proj_single,
-                              tuple(spatial_shapes))
+    M = value.shape[2]
+
+    def build(rx, ry, cx, cy, ca):
+        return _build_rows_from_proj_single(
+            tuple(spatial_shapes), _untile_ref(rx), _untile_ref(ry),
+            *(_untile_headmajor(a, M) for a in (cx, cy, ca)))
     (lx, ly, at), vjp_rows = jax.vjp(build, rx, ry, cx, cy, ca)
     gval, glx, gly, gat = _rows_bwd_core(spatial_shapes, n_queries, q_tile,
                                          value, lx, ly, at, g)

@@ -382,13 +382,29 @@ class TestTemporalProjOp:
         tx, ty, ta = rows(W * L), rows(W * L), rows(W * L)
         return value, (rx, ry, cx, cy, tx, ty, ca, ta), Q, 1 + W
 
+    @staticmethod
+    def _tile(args, M):
+        """untiled oracle args → the op's pre-tiled head-slab contract
+        (differentiable, so grads comparisons flow through it)."""
+        from devis_tpu.ops.ms_deform_attn_pallas import _tile_headmajor
+
+        def tref(r):
+            T, L, q_pad = r.shape
+            return jnp.transpose(r.reshape(T, L, q_pad // 128, 128),
+                                 (0, 2, 1, 3))
+        rx, ry, cx, cy, tx, ty, ca, ta = args
+        return (tref(rx), tref(ry)) + tuple(
+            _tile_headmajor(a, M, 128) for a in (cx, cy, tx, ty, ca, ta))
+
     @pytest.mark.parametrize("rule", [("all",), ("window", (-1, 1))])
     def test_forward_matches_rows(self, rng, rule):
         from devis_tpu.ops.ms_deform_attn_pallas import (
             _build_rows_from_proj, ms_deform_attn_rows_temporal,
             ms_deform_attn_temporal_proj)
         value, args, Q, F = self._case(rng, rule=rule)
-        out = ms_deform_attn_temporal_proj(value, SHAPES, *args, Q, rule)
+        out = ms_deform_attn_temporal_proj(value, SHAPES,
+                                           *self._tile(args, value.shape[2]),
+                                           Q, rule)
         lx, ly, at = _build_rows_from_proj(SHAPES, F, *args)
         ref = ms_deform_attn_rows_temporal(value, SHAPES, lx, ly, at, Q, rule)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -402,8 +418,8 @@ class TestTemporalProjOp:
         value, args, Q, F = self._case(rng, rule=rule)
 
         def f_p(v, *a):
-            return (ms_deform_attn_temporal_proj(v, SHAPES, *a, Q, rule)
-                    ** 2).sum()
+            return (ms_deform_attn_temporal_proj(
+                v, SHAPES, *self._tile(a, v.shape[2]), Q, rule) ** 2).sum()
 
         def f_r(v, *a):
             lx, ly, at = _build_rows_from_proj(SHAPES, F, *a)
@@ -436,12 +452,25 @@ class TestProjOp:
                                jnp.float32)
         return value, (rx, ry, rows(), rows(), rows()), Q
 
+    @staticmethod
+    def _tile(args, M):
+        from devis_tpu.ops.ms_deform_attn_pallas import _tile_headmajor
+
+        def tref(r):
+            B, L, q_pad = r.shape
+            return jnp.transpose(r.reshape(B, L, q_pad // 128, 128),
+                                 (0, 2, 1, 3))
+        rx, ry, cx, cy, ca = args
+        return (tref(rx), tref(ry)) + tuple(
+            _tile_headmajor(a, M, 128) for a in (cx, cy, ca))
+
     def test_forward_matches_rows(self, rng):
         from devis_tpu.ops.ms_deform_attn_pallas import (
             _build_rows_from_proj_single, ms_deform_attn_proj,
             ms_deform_attn_rows)
         value, args, Q = self._case(rng)
-        out = ms_deform_attn_proj(value, SHAPES, *args, Q)
+        out = ms_deform_attn_proj(value, SHAPES,
+                                  *self._tile(args, value.shape[2]), Q)
         lx, ly, at = _build_rows_from_proj_single(SHAPES, *args)
         ref = ms_deform_attn_rows(value, SHAPES, lx, ly, at, Q)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -454,7 +483,8 @@ class TestProjOp:
         value, args, Q = self._case(rng, B=1)
 
         def f_p(v, *a):
-            return (ms_deform_attn_proj(v, SHAPES, *a, Q) ** 2).sum()
+            return (ms_deform_attn_proj(
+                v, SHAPES, *self._tile(a, v.shape[2]), Q) ** 2).sum()
 
         def f_r(v, *a):
             lx, ly, at = _build_rows_from_proj_single(SHAPES, *a)
@@ -527,7 +557,7 @@ class TestRangesProjPallas:
     def test_matches_xla_reference(self, rng, rule):
         from devis_tpu.ops.ms_deform_attn_pallas import (
             S_TILE, _row_ranges_proj, _row_ranges_proj_pallas, _round_up,
-            _rule_window, _tile_q)
+            _rule_window, _tile_headmajor)
         T, M, P = 3, 2, 2
         L = len(SHAPES)
         W = _rule_window(rule, T)
@@ -546,8 +576,13 @@ class TestRangesProjPallas:
         tx, ty = rows(W * L), rows(W * L)
         want = _row_ranges_proj(rx, ry, cx, cy, tx, ty, SHAPES, F,
                                 128, S_TILE)
-        # the launcher takes PRE-TILED (`_tile_q`) operands
+        # the launcher takes PRE-TILED head-slab operands
+        def tref(r):
+            T, L, q_pad = r.shape
+            return jnp.transpose(r.reshape(T, L, q_pad // 128, 128),
+                                 (0, 2, 1, 3))
         got = _row_ranges_proj_pallas(
-            *(_tile_q(a, 128) for a in (rx, ry, cx, cy, tx, ty)),
+            tref(rx), tref(ry),
+            *(_tile_headmajor(a, M, 128) for a in (cx, cy, tx, ty)),
             SHAPES, F, 128, S_TILE, M)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
