@@ -141,7 +141,7 @@ def _ranges_ml(rx, ry, cx, cy, tx, ty, spatial_shapes, F, q_tile, s_tiles,
 
 
 def _kernel_ml(ranges_ref, *refs, spatial_shapes, level_starts, s_tiles, P,
-               acc_dtype, F):
+               acc_dtype, F, win1=False):
     ve_refs = refs[:F]
     vo_refs = refs[F:2 * F]
     (rx_ref, ry_ref, cx_ref, cy_ref, tx_ref, ty_ref, ca_ref, ta_ref,
@@ -191,6 +191,33 @@ def _kernel_ml(ranges_ref, *refs, spatial_shapes, level_starts, s_tiles, P,
         base_w = ranges_ref[0, 0, lvl, 0]
         num_t = ranges_ref[0, 0, lvl, 1]
 
+        if win1:
+            # single straight-line window per level (INEXACT when the span
+            # overflows s_l — speed probe for the big-window + overflow
+            # fallback design)
+            s0 = pl.multiple_of(base_w, 8)
+            vte = ve_ref[0, pl.ds(level_starts[ll] + s0, s_l), :]
+            vto = vo_ref[0, pl.ds(level_starts[ll] + s0, s_l), :]
+            cols = iotas[s_l] + s0.astype(f32)
+
+            def tree(pairs):
+                sels = [jnp.where(i[p:p + 1, :] == cols, w_[p:p + 1, :], 0.0)
+                        for i, w_ in pairs for p in range(P)]
+                while len(sels) > 1:
+                    sels = [a + b for a, b in zip(sels[0::2], sels[1::2])]
+                return sels[0]
+            we = tree([(ie, wt) for ie, wt, _, _ in entries])
+            wo = tree([(io, wt) for _, _, io, wt in entries])
+            acc_e = acc_e + jax.lax.dot_general(
+                vte.astype(acc_dtype), we.astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_o = acc_o + jax.lax.dot_general(
+                vto.astype(acc_dtype), wo.astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            continue
+
         def body(t, accs, ll=ll, entries=entries, base_w=base_w,
                  ve_ref=ve_ref, vo_ref=vo_ref, s_l=s_l):
             acc_e, acc_o = accs
@@ -221,9 +248,9 @@ def _kernel_ml(ranges_ref, *refs, spatial_shapes, level_starts, s_tiles, P,
     out_ref[0, 0] = (acc_e + acc_o).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 11, 12, 13, 14, 15))
+@functools.partial(jax.jit, static_argnums=(0, 11, 12, 13, 14, 15, 16))
 def _call_ml(spatial_shapes, value_e, value_o, rx, ry, cx, cy, tx, ty, ca,
-             ta, q_tile, s_tiles, T, rule, max_s):
+             ta, q_tile, s_tiles, T, rule, max_s, win1=False):
     TM, S_pad, Dd = value_e.shape
     Mh = TM // T
     F = 1 + mp._rule_window(rule, T)
@@ -262,7 +289,7 @@ def _call_ml(spatial_shapes, value_e, value_o, rx, ry, cx, cy, tx, ty, ca,
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel_ml, spatial_shapes=spatial_shapes,
                                level_starts=level_starts, s_tiles=s_tiles,
-                               P=Pp, acc_dtype=acc_dtype, F=F)
+                               P=Pp, acc_dtype=acc_dtype, F=F, win1=win1)
     specs = [_value_spec(j) for j in range(F)]
     W = F - 1
     out = pl.pallas_call(
@@ -287,7 +314,7 @@ def _call_ml(spatial_shapes, value_e, value_o, rx, ry, cx, cy, tx, ty, ca,
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(TM, Dd, q_pad)
 
 
-def run_pltile(ops, s_tiles, reps=3, n=10):
+def run_pltile(ops, s_tiles, reps=3, n=10, win1=False):
     value, shapes, rx, ry, cx, cy, tx, ty, ca, ta, Q = ops
     Tn, S, Mh, Dd = value.shape
     s_tiles = tuple(s_tiles)
@@ -296,7 +323,8 @@ def run_pltile(ops, s_tiles, reps=3, n=10):
         value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(Tn * Mh, S, Dd)
         value_e, value_o = _pack_levels_ml(value_bm, shapes, s_tiles)
         return _call_ml(shapes, value_e, value_o, rx, ry, cx, cy, tx, ty,
-                        ca, ta, mp.Q_TILE, s_tiles, Tn, RULE, max(s_tiles))
+                        ca, ta, mp.Q_TILE, s_tiles, Tn, RULE, max(s_tiles),
+                        win1)
 
     jf = jax.jit(fn)
     args = (value, rx, ry, cx, cy, tx, ty, ca, ta)
@@ -309,7 +337,7 @@ def run_pltile(ops, s_tiles, reps=3, n=10):
             out = jf(*args)
         _ = float(jnp.asarray(out).ravel()[0].astype(jnp.float32))
         best = min(best, (time.perf_counter() - t0) / n)
-    name = "pltile" + "/".join(str(s) for s in s_tiles)
+    name = ("w1-" if win1 else "") + "pltile" + "/".join(str(s) for s in s_tiles)
     print(f"{name:22s}: {best * 1000:6.2f} ms", flush=True)
     return best, out
 
@@ -323,7 +351,7 @@ def _kernel(ranges_ref, *refs, spatial_shapes, level_starts, s_tile, P,
     ve_refs = refs[:F]
     vo_refs = refs[F:2 * F]
     (rx_ref, ry_ref, cx_ref, cy_ref, tx_ref, ty_ref, ca_ref, ta_ref,
-     out_ref, we_ref, wo_ref) = refs[2 * F:]
+     out_ref, we_ref, wo_ref, tl_ref) = refs[2 * F:]
     L = len(spatial_shapes)
     D = out_ref.shape[-2]
     Qt = out_ref.shape[-1]
@@ -387,13 +415,196 @@ def _kernel(ranges_ref, *refs, spatial_shapes, level_starts, s_tile, P,
             ents.append((jnp.where(even, m_l, m_r), jnp.where(even, wl, wrt),
                          jnp.where(even, m_r, m_l), jnp.where(even, wrt, wl)))
 
+    if mode == "when2":
+        # Phase 1: win1-style straight-line window-0 for every level (SSA
+        # accumulators, zero control-flow regions). Phase 2: per-level tail
+        # regions that are fully SELF-CONTAINED — they re-read logits/offsets
+        # from the operand refs and recompute entries inside, so nothing is
+        # live across a region boundary and an untaken region should cost
+        # only its branch.
+        LP = L * P
+        # park the softmax in scratch so NOTHING (SSA) is live across the
+        # phase-2 regions: tails re-read attention rows from here
+        tl_ref[0:LP, :] = att_c
+        tl_ref[LP:LP + (F - 1) * LP, :] = att_t
+        acc_e = jnp.zeros((D, Qt), f32)
+        acc_o = jnp.zeros((D, Qt), f32)
+
+        def lvl_rows(lvl):
+            ll = lvl % L
+            h, w = spatial_shapes[ll]
+            at = tl_ref[lvl * P:(lvl + 1) * P, :]
+            if lvl < L:
+                offx = cx_ref[0, 0, ll * P:(ll + 1) * P, :].astype(f32)
+                offy = cy_ref[0, 0, ll * P:(ll + 1) * P, :].astype(f32)
+                rxl = rx_ref[0, 0, ll:ll + 1, :]
+                ryl = ry_ref[0, 0, ll:ll + 1, :]
+            else:
+                k = lvl - L
+                offx = tx_ref[0, 0, k * P:(k + 1) * P, :].astype(f32)
+                offy = ty_ref[0, 0, k * P:(k + 1) * P, :].astype(f32)
+                rxl = rx_ref[0, 0, 0:1, :]
+                ryl = ry_ref[0, 0, 0:1, :]
+            lx = rxl + offx * np.float32(1.0 / w)
+            ly = ryl + offy * np.float32(1.0 / h)
+            return mp._level_entries(lx, ly, at, h, w)
+
+        def tree(pairs, cols):
+            sels = [jnp.where(i[p:p + 1, :] == cols, w_[p:p + 1, :], 0.0)
+                    for i, w_ in pairs for p in range(P)]
+            while len(sels) > 1:
+                sels = [a + b for a, b in zip(sels[0::2], sels[1::2])]
+            return sels[0]
+
+        for lvl in range(F * L):
+            ll = lvl % L
+            entries = lvl_rows(lvl)
+            base_w = ranges_ref[0, 0, lvl, 0]
+            s0 = pl.multiple_of(base_w, 8)
+            vte = ve_refs[lvl // L][0,
+                                    pl.ds(level_starts[ll] + s0, s_tile), :]
+            vto = vo_refs[lvl // L][0,
+                                    pl.ds(level_starts[ll] + s0, s_tile), :]
+            cols = rows0 + s0.astype(f32)
+            we = tree([(ie, wt) for ie, wt, _, _ in entries], cols)
+            wo = tree([(io, wt) for _, _, io, wt in entries], cols)
+            acc_e = acc_e + jax.lax.dot_general(
+                vte.astype(acc_dtype), we.astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_o = acc_o + jax.lax.dot_general(
+                vto.astype(acc_dtype), wo.astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        # park phase-1 result; phase-2 regions accumulate on top of it
+        out_ref[0, 0] = (acc_e + acc_o).astype(out_ref.dtype)
+
+        for lvl in range(F * L):
+            num_t = ranges_ref[0, 0, lvl, 1]
+
+            @pl.when(num_t > 1)
+            def _tail(lvl=lvl):
+                ll = lvl % L
+                entries = lvl_rows(lvl)       # recomputed only when taken
+                base_w = ranges_ref[0, 0, lvl, 0]
+                nt = ranges_ref[0, 0, lvl, 1]
+                rows0_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (s_tile, Qt), 0).astype(f32)
+
+                def body(t, carry):
+                    s0 = pl.multiple_of(base_w + t * s_tile, 8)
+                    vte = ve_refs[lvl // L][
+                        0, pl.ds(level_starts[ll] + s0, s_tile), :]
+                    vto = vo_refs[lvl // L][
+                        0, pl.ds(level_starts[ll] + s0, s_tile), :]
+                    cols = rows0_i + s0.astype(f32)
+                    we_ref[:] = jnp.zeros_like(we_ref)
+                    wo_ref[:] = jnp.zeros_like(wo_ref)
+                    zero = jnp.zeros((), we_ref.dtype)
+                    for ide, wte, ido, wto in entries:
+                        for p in range(P):
+                            we_ref[:] += jnp.where(
+                                ide[p:p + 1, :] == cols,
+                                wte[p:p + 1, :], zero)
+                            wo_ref[:] += jnp.where(
+                                ido[p:p + 1, :] == cols,
+                                wto[p:p + 1, :], zero)
+                    out_ref[0, 0] += (jax.lax.dot_general(
+                        vte.astype(acc_dtype), we_ref[:].astype(acc_dtype),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                        vto.astype(acc_dtype), wo_ref[:].astype(acc_dtype),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)).astype(
+                            out_ref.dtype)
+                    return carry
+                jax.lax.fori_loop(1, nt, body, 0)
+        return
+
     acc_e = jnp.zeros((D, Qt), f32)
     acc_o = jnp.zeros((D, Qt), f32)
+    if mode == "when":
+        tl_ref[0:D, :] = jnp.zeros((D, Qt), tl_ref.dtype)
     for lvl in range(F * L):
         ll = lvl % L
         h, w = spatial_shapes[ll]
         ve_ref = ve_refs[lvl // L]
         vo_ref = vo_refs[lvl // L]
+        if mode == "when":
+            # EXACT fast form: window 0 straight-line into SSA accumulators
+            # (the common case — no loop region, no carried values); the
+            # rare multi-window tail accumulates into a side-effect scratch
+            # under pl.when, so untaken regions carry nothing.
+            if lvl < L:
+                offx = cx_ref[0, 0, ll * P:(ll + 1) * P, :].astype(f32)
+                offy = cy_ref[0, 0, ll * P:(ll + 1) * P, :].astype(f32)
+                at = att_c[ll * P:(ll + 1) * P, :]
+                rxl = rx_ref[0, 0, ll:ll + 1, :]
+                ryl = ry_ref[0, 0, ll:ll + 1, :]
+            else:
+                k = lvl - L
+                offx = tx_ref[0, 0, k * P:(k + 1) * P, :].astype(f32)
+                offy = ty_ref[0, 0, k * P:(k + 1) * P, :].astype(f32)
+                at = att_t[k * P:(k + 1) * P, :]
+                rxl = rx_ref[0, 0, 0:1, :]
+                ryl = ry_ref[0, 0, 0:1, :]
+            lx = rxl + offx * np.float32(1.0 / w)
+            ly = ryl + offy * np.float32(1.0 / h)
+            entries = mp._level_entries(lx, ly, at, h, w)
+            base_w = ranges_ref[0, 0, lvl, 0]
+            num_t = ranges_ref[0, 0, lvl, 1]
+
+            def tree(pairs, cols):
+                sels = [jnp.where(i[p:p + 1, :] == cols, w_[p:p + 1, :], 0.0)
+                        for i, w_ in pairs for p in range(P)]
+                while len(sels) > 1:
+                    sels = [a + b for a, b in zip(sels[0::2], sels[1::2])]
+                return sels[0]
+
+            s0 = pl.multiple_of(base_w, 8)
+            vte = ve_ref[0, pl.ds(level_starts[ll] + s0, s_tile), :]
+            vto = vo_ref[0, pl.ds(level_starts[ll] + s0, s_tile), :]
+            cols = rows0 + s0.astype(f32)
+            we = tree([(ie, wt) for ie, wt, _, _ in entries], cols)
+            wo = tree([(io, wt) for _, _, io, wt in entries], cols)
+            acc_e = acc_e + jax.lax.dot_general(
+                vte.astype(acc_dtype), we.astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_o = acc_o + jax.lax.dot_general(
+                vto.astype(acc_dtype), wo.astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            @pl.when(num_t > 1)
+            def _tail(ll=ll, entries=entries, base_w=base_w, num_t=num_t,
+                      ve_ref=ve_ref, vo_ref=vo_ref):
+                def body(t, carry):
+                    s0 = pl.multiple_of(base_w + t * s_tile, 8)
+                    vte = ve_ref[0, pl.ds(level_starts[ll] + s0, s_tile), :]
+                    vto = vo_ref[0, pl.ds(level_starts[ll] + s0, s_tile), :]
+                    cols = rows0 + s0.astype(f32)
+                    we_ref[:] = jnp.zeros_like(we_ref)
+                    wo_ref[:] = jnp.zeros_like(wo_ref)
+                    zero = jnp.zeros((), we_ref.dtype)
+                    for ide, wte, ido, wto in entries:
+                        for p in range(P):
+                            we_ref[:] += jnp.where(ide[p:p + 1, :] == cols,
+                                                   wte[p:p + 1, :], zero)
+                            wo_ref[:] += jnp.where(ido[p:p + 1, :] == cols,
+                                                   wto[p:p + 1, :], zero)
+                    tl_ref[0:D, :] += (jax.lax.dot_general(
+                        vte.astype(acc_dtype), we_ref[:].astype(acc_dtype),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                        vto.astype(acc_dtype), wo_ref[:].astype(acc_dtype),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                    return carry
+                jax.lax.fori_loop(1, num_t, body, 0)
+            continue
         if mode == "batched":
             sl = slice(lvl * P, (lvl + 1) * P)
             entries = [(ie[sl], we[sl], io[sl], wo[sl])
@@ -428,6 +639,78 @@ def _kernel(ranges_ref, *refs, spatial_shapes, level_starts, s_tile, P,
         base_w = ranges_ref[0, 0, lvl, 0]
         num_t = ranges_ref[0, 0, lvl, 1]
 
+        if mode in ("win1", "win1s"):
+            # CEILING PROBES (not exact): win1 assumes num_t==1 everywhere
+            # (drops the tail fori region entirely); win1s additionally uses
+            # STATIC value slices (level start, ignoring the range base) to
+            # price the dynamic-slice overhead. Output is wrong whenever the
+            # real range differs — timing only.
+            def tree(pairs, cols):
+                sels = [jnp.where(i[p:p + 1, :] == cols, w[p:p + 1, :], 0.0)
+                        for i, w in pairs for p in range(P)]
+                while len(sels) > 1:
+                    sels = [a + b for a, b in zip(sels[0::2], sels[1::2])]
+                return sels[0]
+            if mode == "win1s":
+                vte = ve_ref[0, level_starts[ll]:level_starts[ll] + s_tile, :]
+                vto = vo_ref[0, level_starts[ll]:level_starts[ll] + s_tile, :]
+                cols = rows0
+            else:
+                s0 = pl.multiple_of(base_w, 8)
+                vte = ve_ref[0, pl.ds(level_starts[ll] + s0, s_tile), :]
+                vto = vo_ref[0, pl.ds(level_starts[ll] + s0, s_tile), :]
+                cols = rows0 + s0.astype(f32)
+            we = tree([(ie, wt) for ie, wt, _, _ in entries], cols)
+            wo = tree([(io, wt) for _, _, io, wt in entries], cols)
+            acc_e = acc_e + jax.lax.dot_general(
+                vte.astype(acc_dtype), we.astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_o = acc_o + jax.lax.dot_general(
+                vto.astype(acc_dtype), wo.astype(acc_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            continue
+
+        if mode == "straight":
+            # Window 0 as straight-line SSA code (no fori region, no scratch)
+            # — the common case is num_t == 1, and keeping all 24 levels'
+            # W-builds and dots in ONE instruction stream lets the scheduler
+            # run level l+1's VPU select-tree under level l's MXU matmul.
+            # When num_t == 0 every entry weight is 0 ⇒ W = 0 ⇒ no-op dot.
+            def tree(pairs, cols):
+                sels = [jnp.where(i[p:p + 1, :] == cols, w[p:p + 1, :], 0.0)
+                        for i, w in pairs for p in range(P)]
+                while len(sels) > 1:
+                    sels = [a + b for a, b in zip(sels[0::2], sels[1::2])]
+                return sels[0]
+
+            def window(s0, acc_e, acc_o, ll=ll, entries=entries,
+                       ve_ref=ve_ref, vo_ref=vo_ref):
+                vte = ve_ref[0, pl.ds(level_starts[ll] + s0, s_tile), :]
+                vto = vo_ref[0, pl.ds(level_starts[ll] + s0, s_tile), :]
+                cols = rows0 + s0.astype(f32)
+                we = tree([(ie, wt) for ie, wt, _, _ in entries], cols)
+                wo = tree([(io, wt) for _, _, io, wt in entries], cols)
+                acc_e = acc_e + jax.lax.dot_general(
+                    vte.astype(acc_dtype), we.astype(acc_dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc_o = acc_o + jax.lax.dot_general(
+                    vto.astype(acc_dtype), wo.astype(acc_dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return acc_e, acc_o
+
+            s0 = pl.multiple_of(base_w, 8)
+            acc_e, acc_o = window(s0, acc_e, acc_o)
+
+            def tail(t, accs):
+                s0 = pl.multiple_of(base_w + t * s_tile, 8)
+                return window(s0, *accs)
+            acc_e, acc_o = jax.lax.fori_loop(1, num_t, tail, (acc_e, acc_o))
+            continue
+
         def body(t, accs, ll=ll, entries=entries, base_w=base_w,
                  ve_ref=ve_ref, vo_ref=vo_ref):
             acc_e, acc_o = accs
@@ -456,16 +739,42 @@ def _kernel(ranges_ref, *refs, spatial_shapes, level_starts, s_tile, P,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 return acc_e, acc_o
-            if mode != "nowbuild":
+            if mode == "bf16rel":
+                # Entire W-build in bf16 on WINDOW-RELATIVE indices:
+                # rel = idx - s0 is exact in bf16 iff it's an integer in
+                # [-256, 256]; in-window taps (rel in [0, s)) compare exact,
+                # out-of-window values round to integers outside [0, s) and
+                # can never equal a lane of the bf16 iota. Halves VPU op
+                # slots and W-tile VMEM traffic vs the f32 build.
+                bf = jnp.bfloat16
+                colsb = rows0.astype(bf)          # 0..s_tile-1 exact
+                s0f = s0.astype(f32)
+                zero = jnp.zeros((), bf)
+                we_ref[:] = jnp.zeros_like(we_ref)
+                wo_ref[:] = jnp.zeros_like(wo_ref)
+                for ide, wte, ido, wto in entries:
+                    for p in range(P):
+                        ree = (ide[p:p + 1, :] - s0f).astype(bf)
+                        reo = (ido[p:p + 1, :] - s0f).astype(bf)
+                        we_ref[:] += jnp.where(ree == colsb,
+                                               wte[p:p + 1, :].astype(bf),
+                                               zero)
+                        wo_ref[:] += jnp.where(reo == colsb,
+                                               wto[p:p + 1, :].astype(bf),
+                                               zero)
+            elif mode != "nowbuild":
                 we_ref[:] = jnp.zeros_like(we_ref)
                 wo_ref[:] = jnp.zeros_like(wo_ref)
                 zero = jnp.zeros((), we_ref.dtype)
+                wdt = we_ref.dtype
                 for ide, wte, ido, wto in entries:
                     for p in range(P):
                         we_ref[:] += jnp.where(ide[p:p + 1, :] == cols,
-                                               wte[p:p + 1, :], zero)
+                                               wte[p:p + 1, :].astype(wdt),
+                                               zero)
                         wo_ref[:] += jnp.where(ido[p:p + 1, :] == cols,
-                                               wto[p:p + 1, :], zero)
+                                               wto[p:p + 1, :].astype(wdt),
+                                               zero)
             if mode == "nomxu":
                 acc_e = acc_e + we_ref[:D, :]
                 acc_o = acc_o + wo_ref[:D, :]
@@ -481,7 +790,10 @@ def _kernel(ranges_ref, *refs, spatial_shapes, level_starts, s_tile, P,
             return acc_e, acc_o
 
         acc_e, acc_o = jax.lax.fori_loop(0, num_t, body, (acc_e, acc_o))
-    out_ref[0, 0] = (acc_e + acc_o).astype(out_ref.dtype)
+    acc = acc_e + acc_o
+    if mode == "when":
+        acc = acc + tl_ref[0:D, :]
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -544,8 +856,14 @@ def _call(spatial_shapes, value_e, value_o, rx, ry, cx, cy, tx, ty, ca, ta,
                                lambda bm, qt: (bm, qt, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((TM, nqt, Dd, q_tile), value_e.dtype),
-        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
-                        pltpu.VMEM((s_tile, q_tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((s_tile, q_tile),
+                                   jnp.bfloat16 if mode in ("bf16w", "bf16rel")
+                                   else jnp.float32),
+                        pltpu.VMEM((s_tile, q_tile),
+                                   jnp.bfloat16 if mode in ("bf16w", "bf16rel")
+                                   else jnp.float32),
+                        pltpu.VMEM((max(Dd, F * L * Pp), q_tile),
+                                   jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=mp._interpret(),
@@ -584,8 +902,10 @@ def main(variants):
     outs = {}
     for v in variants:
         if v.startswith("pl:"):
-            s_tiles = tuple(int(s) for s in v[3:].split(","))
-            outs[v] = run_pltile(ops, s_tiles)
+            parts = v[3:].split(",")
+            win1 = parts[-1] == "w"
+            s_tiles = tuple(int(s) for s in (parts[:-1] if win1 else parts))
+            outs[v] = run_pltile(ops, s_tiles, win1=win1)
         else:
             outs[v] = run_variant(v, ops)
     base = outs.get("base")

@@ -84,15 +84,47 @@ def _level_starts(spatial_shapes: Shapes):
     return tuple(starts)
 
 
-def _padded_level_starts(spatial_shapes: Shapes, s_tile: int):
+def _padded_level_starts(spatial_shapes: Shapes, s_tile):
     """Level starts in PACKED (row-pair) space when every level is padded to
     an s_tile multiple PLUS one extra zero s_tile — forward windows start at
     the 8-aligned span minimum and may overrun the level end by < s_tile.
-    Packed level size = ceil(h·w / 2)."""
+    Packed level size = ceil(h·w / 2). `s_tile` may be one int or a
+    per-level tuple (projection-fused path)."""
+    tiles = _as_level_tiles(spatial_shapes, s_tile)
     starts = [0]
-    for h, w in spatial_shapes:
-        starts.append(starts[-1] + _round_up(-(-h * w // 2), s_tile) + s_tile)
+    for (h, w), s in zip(spatial_shapes, tiles):
+        starts.append(starts[-1] + _round_up(-(-h * w // 2), s) + s)
     return tuple(starts[:-1]), starts[-1]
+
+
+def _as_level_tiles(spatial_shapes: Shapes, s_tile):
+    if isinstance(s_tile, (tuple, list)):
+        assert len(s_tile) == len(spatial_shapes)
+        return tuple(int(s) for s in s_tile)
+    return (int(s_tile),) * len(spatial_shapes)
+
+
+def _proj_s_tiles(spatial_shapes: Shapes, q_tile: int):
+    """Per-level static window sizes for the projection-fused forward.
+
+    The straight-line kernel executes exactly ONE window per level (plus a
+    rarely-taken overflow fallback), so each level's window must cover the
+    TYPICAL span: the q-tile's own raster footprint at that level plus a
+    tap margin (~5 rows ≈ ±4 px learned offsets + the bilinear extent; the
+    reference's directional-grid bias init reaches ±P px,
+    ms_deform_attn.py:64-82). Spans larger than this (coarse-level query
+    tiles sampling fine levels, or extreme learned offsets) take the
+    in-kernel overflow path, which stays exact. Clamped to the level's own
+    packed size and [32, 512]."""
+    h0, w0 = spatial_shapes[0]
+    area0 = float(h0 * w0)
+    tiles = []
+    for h, w in spatial_shapes:
+        rows = q_tile / area0 * h + 5.0
+        span = _round_up(max(32, int(rows * w / 2.0)), 32)
+        packed = _round_up(-(-h * w // 2), 32)
+        tiles.append(int(min(512, span, packed)))
+    return tuple(tiles)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -975,19 +1007,22 @@ Q_TILE = 256
 S_TILE = 128          # PACKED rows per tile — covers 256 raster rows
 
 
-def _pack_levels(value_bm, spatial_shapes: Shapes, s_tile: int):
+def _pack_levels(value_bm, spatial_shapes: Shapes, s_tile):
     """(B·M, S, D) → (V_even, V_odd), each (B·M, S_pad, D): every level split
     by raster parity (V_even[m] = V[2m], V_odd[m] = V[2m+1]) and padded to an
-    s_tile multiple in packed space."""
+    s_tile multiple in packed space. `s_tile` may be one int or a per-level
+    tuple (projection-fused path)."""
+    tiles = _as_level_tiles(spatial_shapes, s_tile)
     starts = _level_starts(spatial_shapes)
     BM, _, D = value_bm.shape
     evens, odds = [], []
     for lvl, (h, w) in enumerate(spatial_shapes):
         n = h * w
         n2 = -(-n // 2)
+        s = tiles[lvl]
         seg = jax.lax.slice_in_dim(value_bm, starts[lvl], starts[lvl] + n,
                                    axis=1)
-        pad_rows = (_round_up(n2, s_tile) + s_tile) * 2 - n
+        pad_rows = (_round_up(n2, s) + s) * 2 - n
         seg = jnp.pad(seg, ((0, 0), (0, pad_rows), (0, 0)))
         seg = seg.reshape(BM, -1, 2, D)
         evens.append(seg[:, :, 0])
@@ -1467,17 +1502,47 @@ ms_deform_attn_rows_temporal.defvjp(_temporal_fwd_fwd, _temporal_fwd_bwd)
 # fall straight out of transposed Dense projections with zero-copy reshapes.
 
 
+def _entry_tree(entries, cols, P: int, parity: int):
+    """One parity class's (s, Qt) one-hot W tile as an SSA select-tree: 8
+    independent broadcast-compare selects combined pairwise — no serialized
+    scratch accumulation and, crucially, no control-flow region."""
+    sels = []
+    for ide, wte, ido, wto in entries:
+        i_, w_ = (ide, wte) if parity == 0 else (ido, wto)
+        sels += [jnp.where(i_[p:p + 1, :] == cols, w_[p:p + 1, :], 0.0)
+                 for p in range(P)]
+    while len(sels) > 1:
+        nxt = [a + b for a, b in zip(sels[0::2], sels[1::2])]
+        if len(sels) % 2:
+            nxt.append(sels[-1])
+        sels = nxt
+    return sels[0]
+
+
 def _fwd_kernel_temporal_proj(ranges_ref, *refs, spatial_shapes, level_starts,
-                              s_tile: int, P: int, acc_dtype, F: int):
+                              s_tiles, P: int, acc_dtype, F: int):
+    """Straight-line forward: ONE per-level window of a per-level static
+    size (`_proj_s_tiles`) executed with no control-flow regions, plus a
+    single per-program `pl.when` overflow fallback for spans that exceed
+    their window.
+
+    Why: cost isolation (benchmarks/kernel_lab.py, r4) showed each
+    per-level `fori_loop`/`pl.when` REGION costs ~600 cycles even at trip
+    count 0 — 24 regions × 912 programs ≈ 14 ms of the op's 26.7 ms wall —
+    while the dots and W-builds themselves are cheap. The region-free
+    window-0-only variant measured 11.9 ms; the fallback (taken only by
+    programs with an overflowing span — typically coarse-level query tiles
+    sampling fine levels) restores exactness."""
     ve_refs = refs[:F]
     vo_refs = refs[F:2 * F]
     (rx_ref, ry_ref, cx_ref, cy_ref, tx_ref, ty_ref, ca_ref, ta_ref,
-     out_ref, we_ref, wo_ref) = refs[2 * F:]
+     out_ref, tl_ref) = refs[2 * F:]
     L = len(spatial_shapes)
     D = out_ref.shape[-2]
     Qt = out_ref.shape[-1]
     f32 = jnp.float32
-    rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0).astype(f32)
+    iotas = {s: jax.lax.broadcasted_iota(jnp.int32, (s, Qt), 0).astype(f32)
+             for s in sorted(set(s_tiles))}
 
     # Joint softmax over current + temporal logits (per query column).
     cl = ca_ref[0, 0].astype(f32)                    # (L·P, Qt)
@@ -1491,13 +1556,9 @@ def _fwd_kernel_temporal_proj(ranges_ref, *refs, spatial_shapes, level_starts,
     att_c = ec * inv
     att_t = et * inv
 
-    acc_e = jnp.zeros((D, Qt), f32)
-    acc_o = jnp.zeros((D, Qt), f32)
-    for lvl in range(F * L):
+    def lvl_entries(lvl):
         ll = lvl % L
         h, w = spatial_shapes[ll]
-        ve_ref = ve_refs[lvl // L]
-        vo_ref = vo_refs[lvl // L]
         if lvl < L:
             offx = cx_ref[0, 0, ll * P:(ll + 1) * P, :].astype(f32)
             offy = cy_ref[0, 0, ll * P:(ll + 1) * P, :].astype(f32)
@@ -1514,38 +1575,70 @@ def _fwd_kernel_temporal_proj(ranges_ref, *refs, spatial_shapes, level_starts,
             ryl = ry_ref[0, 0, 0:1, :]
         lx = rxl + offx * np.float32(1.0 / w)
         ly = ryl + offy * np.float32(1.0 / h)
-        entries = _level_entries(lx, ly, at, h, w)
+        return _level_entries(lx, ly, at, h, w)
+
+    acc_e = jnp.zeros((D, Qt), f32)
+    acc_o = jnp.zeros((D, Qt), f32)
+    for lvl in range(F * L):
+        ll = lvl % L
+        s_l = s_tiles[ll]
+        entries = lvl_entries(lvl)
         base_w = ranges_ref[0, 0, lvl, 0]
-        num_t = ranges_ref[0, 0, lvl, 1]
+        s0 = pl.multiple_of(base_w, 8)
+        vte = ve_refs[lvl // L][0, pl.ds(level_starts[ll] + s0, s_l), :]
+        vto = vo_refs[lvl // L][0, pl.ds(level_starts[ll] + s0, s_l), :]
+        cols = iotas[s_l] + s0.astype(f32)
+        we = _entry_tree(entries, cols, P, 0)
+        wo = _entry_tree(entries, cols, P, 1)
+        acc_e = acc_e + jax.lax.dot_general(
+            vte.astype(acc_dtype), we.astype(acc_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_o = acc_o + jax.lax.dot_general(
+            vto.astype(acc_dtype), wo.astype(acc_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-        def body(t, accs, ll=ll, entries=entries, base_w=base_w,
-                 ve_ref=ve_ref, vo_ref=vo_ref):
-            acc_e, acc_o = accs
-            s0 = pl.multiple_of(base_w + t * s_tile, 8)
-            vte = ve_ref[0, pl.ds(level_starts[ll] + s0, s_tile), :]
-            vto = vo_ref[0, pl.ds(level_starts[ll] + s0, s_tile), :]
-            cols = rows0 + s0.astype(f32)
-            we_ref[:] = jnp.zeros_like(we_ref)
-            wo_ref[:] = jnp.zeros_like(wo_ref)
-            zero = jnp.zeros((), we_ref.dtype)
-            for ide, wte, ido, wto in entries:
-                for p in range(P):
-                    we_ref[:] += jnp.where(ide[p:p + 1, :] == cols,
-                                           wte[p:p + 1, :], zero)
-                    wo_ref[:] += jnp.where(ido[p:p + 1, :] == cols,
-                                           wto[p:p + 1, :], zero)
-            acc_e = acc_e + jax.lax.dot_general(
-                vte.astype(acc_dtype), we_ref[:].astype(acc_dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_o = acc_o + jax.lax.dot_general(
-                vto.astype(acc_dtype), wo_ref[:].astype(acc_dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return acc_e, acc_o
+    # Overflow fallback: windows 1..num_t-1 per level, entered at most once
+    # per program. Entries are recomputed inside so nothing large is
+    # carried across the region boundary; the f32 side-accumulator keeps
+    # the math identical to the main path.
+    overflow = ranges_ref[0, 0, 0, 1]
+    for lvl in range(1, F * L):
+        overflow = jnp.maximum(overflow, ranges_ref[0, 0, lvl, 1])
+    tl_ref[:] = jnp.zeros_like(tl_ref)
 
-        acc_e, acc_o = jax.lax.fori_loop(0, num_t, body, (acc_e, acc_o))
-    out_ref[0, 0] = (acc_e + acc_o).astype(out_ref.dtype)
+    @pl.when(overflow > 1)
+    def _tail():
+        for lvl in range(F * L):
+            ll = lvl % L
+            s_l = s_tiles[ll]
+            entries = lvl_entries(lvl)
+            base_w = ranges_ref[0, 0, lvl, 0]
+            num_t = ranges_ref[0, 0, lvl, 1]
+            rows0 = iotas[s_l]
+
+            def body(t, carry, ll=ll, s_l=s_l, entries=entries,
+                     base_w=base_w, rows0=rows0,
+                     ve_ref=ve_refs[lvl // L], vo_ref=vo_refs[lvl // L]):
+                s0 = pl.multiple_of(base_w + t * s_l, 8)
+                vte = ve_ref[0, pl.ds(level_starts[ll] + s0, s_l), :]
+                vto = vo_ref[0, pl.ds(level_starts[ll] + s0, s_l), :]
+                cols = rows0 + s0.astype(f32)
+                we = _entry_tree(entries, cols, P, 0)
+                wo = _entry_tree(entries, cols, P, 1)
+                tl_ref[:] += (jax.lax.dot_general(
+                    vte.astype(acc_dtype), we.astype(acc_dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                    vto.astype(acc_dtype), wo.astype(acc_dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                return carry
+            jax.lax.fori_loop(1, num_t, body, 0)
+
+    out_ref[0, 0] = (acc_e + acc_o + tl_ref[:]).astype(out_ref.dtype)
 
 
 def _row_ranges_proj(rx, ry, cx, cy, tx, ty, spatial_shapes: Shapes, F: int,
@@ -1600,7 +1693,7 @@ def _row_ranges_proj(rx, ry, cx, cy, tx, ty, spatial_shapes: Shapes, F: int,
 
 def _ranges_proj_kernel(rx_ref, ry_ref, cx_ref, cy_ref, tx_ref, ty_ref,
                         out_ref, *, spatial_shapes: Shapes, F: int,
-                        s_tile: int, P: int):
+                        s_tiles, P: int):
     """In-kernel `_row_ranges_proj`: same f32 span math (windows stay exact
     supersets of the live taps), but the bf16 offset rows are read ONCE in
     VMEM tiles instead of XLA materializing f32 copies of every
@@ -1635,12 +1728,12 @@ def _ranges_proj_kernel(rx_ref, ry_ref, cx_ref, cy_ref, tx_ref, ty_ref,
         mx = jnp.max(jnp.where(valid, hi, -1.0)).astype(jnp.int32)
         base = (mn // 8) * 8
         out_ref[0, 0, lvl, 0] = jnp.where(mx >= 0, base, 0)
-        out_ref[0, 0, lvl, 1] = jnp.where(mx >= 0, (mx - base) // s_tile + 1,
-                                          0)
+        out_ref[0, 0, lvl, 1] = jnp.where(
+            mx >= 0, (mx - base) // s_tiles[lvl % L] + 1, 0)
 
 
 def _row_ranges_proj_pallas(rx, ry, cx, cy, tx, ty, spatial_shapes: Shapes,
-                            F: int, q_tile: int, s_tile: int, M: int):
+                            F: int, q_tile: int, s_tiles, M: int):
     """Pallas launcher for `_ranges_proj_kernel` → (T·M, nqt, Lf, 2) i32.
 
     Operands arrive PRE-TILED in head-slab layout (tile-native
@@ -1673,7 +1766,8 @@ def _row_ranges_proj_pallas(rx, ry, cx, cy, tx, ty, spatial_shapes: Shapes,
         memory_space=pltpu.VMEM)
     kernel = functools.partial(_ranges_proj_kernel,
                                spatial_shapes=tuple(spatial_shapes), F=F,
-                               s_tile=s_tile, P=P)
+                               s_tiles=_as_level_tiles(spatial_shapes,
+                                                       s_tiles), P=P)
     return pl.pallas_call(
         kernel,
         grid=(TM, nqt),
@@ -1738,9 +1832,10 @@ def _fwd_call_temporal_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry,
     nqt = rx.shape[1]
     q_pad = nqt * q_tile
     P = cx.shape[2] // (M * L)
+    s_tiles = _proj_s_tiles(spatial_shapes, q_tile)
     ranges = _row_ranges_proj_pallas(rx, ry, cx, cy, tx, ty, spatial_shapes,
-                                     F, q_tile, s_tile, M)
-    level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
+                                     F, q_tile, s_tiles, M)
+    level_starts, _ = _padded_level_starts(spatial_shapes, s_tiles)
     acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
         else jnp.float32
     Lf = F * L
@@ -1771,7 +1866,8 @@ def _fwd_call_temporal_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry,
     kernel = functools.partial(_fwd_kernel_temporal_proj,
                                spatial_shapes=spatial_shapes,
                                level_starts=level_starts,
-                               s_tile=s_tile, P=P, acc_dtype=acc_dtype, F=F)
+                               s_tiles=s_tiles, P=P, acc_dtype=acc_dtype,
+                               F=F)
     specs = [_value_spec(j) for j in range(F)]
     W = F - 1
     nqt = q_pad // q_tile
@@ -1787,8 +1883,7 @@ def _fwd_call_temporal_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry,
                                lambda bm, qt: (bm, qt, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((TM, nqt, D, q_tile), value_e.dtype),
-        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
-                        pltpu.VMEM((s_tile, q_tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((D, q_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
@@ -1825,7 +1920,8 @@ def _temporal_proj_fwd(value, spatial_shapes, rx, ry, cx, cy, tx, ty, ca, ta,
     q_tile = q_tile or (128 if q_pad <= 128 else Q_TILE)
     assert q_tile == q_tile_in, (q_tile, q_tile_in)
     value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(T * M, S, D)
-    value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
+    s_tiles = _proj_s_tiles(tuple(spatial_shapes), q_tile)
+    value_e, value_o = _pack_levels(value_bm, spatial_shapes, s_tiles)
     out_bm = _fwd_call_temporal_proj(tuple(spatial_shapes), value_e, value_o,
                                      rx, ry, cx, cy, tx, ty, ca, ta,
                                      q_tile, S_TILE, T, rule)
@@ -1871,61 +1967,89 @@ ms_deform_attn_temporal_proj.defvjp(_temporal_proj_fwd_fwd,
 
 
 def _fwd_kernel_proj(ranges_ref, ve_ref, vo_ref, rx_ref, ry_ref, cx_ref,
-                     cy_ref, ca_ref, out_ref, we_ref, wo_ref, *,
-                     spatial_shapes, level_starts, s_tile: int, P: int,
+                     cy_ref, ca_ref, out_ref, tl_ref, *,
+                     spatial_shapes, level_starts, s_tiles, P: int,
                      acc_dtype):
     """Single-frame analog of `_fwd_kernel_temporal_proj`: raw offset/logit
     rows in, per-head softmax over L·P and location math in-kernel
-    (reference ms_deform_attn.py L99-117)."""
+    (reference ms_deform_attn.py L99-117). Same straight-line window-0 +
+    per-program overflow-fallback structure (see the temporal kernel's
+    docstring for the region-cost rationale)."""
     D = out_ref.shape[-2]
     Qt = out_ref.shape[-1]
     f32 = jnp.float32
-    rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0).astype(f32)
+    iotas = {s: jax.lax.broadcasted_iota(jnp.int32, (s, Qt), 0).astype(f32)
+             for s in sorted(set(s_tiles))}
 
     cl = ca_ref[0, 0].astype(f32)                     # (L·P, Qt)
     mx = jnp.max(cl, axis=0, keepdims=True)
     ec = jnp.exp(cl - mx)
     att = ec / jnp.sum(ec, axis=0, keepdims=True)
 
-    acc_e = jnp.zeros((D, Qt), f32)
-    acc_o = jnp.zeros((D, Qt), f32)
-    for lvl, (h, w) in enumerate(spatial_shapes):
+    def lvl_entries(lvl):
+        h, w = spatial_shapes[lvl]
         offx = cx_ref[0, 0, lvl * P:(lvl + 1) * P, :].astype(f32)
         offy = cy_ref[0, 0, lvl * P:(lvl + 1) * P, :].astype(f32)
         at = att[lvl * P:(lvl + 1) * P, :]
         lx = rx_ref[0, 0, lvl:lvl + 1, :] + offx * np.float32(1.0 / w)
         ly = ry_ref[0, 0, lvl:lvl + 1, :] + offy * np.float32(1.0 / h)
-        entries = _level_entries(lx, ly, at, h, w)
+        return _level_entries(lx, ly, at, h, w)
+
+    acc_e = jnp.zeros((D, Qt), f32)
+    acc_o = jnp.zeros((D, Qt), f32)
+    for lvl in range(len(spatial_shapes)):
+        s_l = s_tiles[lvl]
+        entries = lvl_entries(lvl)
         base_w = ranges_ref[0, 0, lvl, 0]
-        num_t = ranges_ref[0, 0, lvl, 1]
+        s0 = pl.multiple_of(base_w, 8)
+        vte = ve_ref[0, pl.ds(level_starts[lvl] + s0, s_l), :]
+        vto = vo_ref[0, pl.ds(level_starts[lvl] + s0, s_l), :]
+        cols = iotas[s_l] + s0.astype(f32)
+        we = _entry_tree(entries, cols, P, 0)
+        wo = _entry_tree(entries, cols, P, 1)
+        acc_e = acc_e + jax.lax.dot_general(
+            vte.astype(acc_dtype), we.astype(acc_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_o = acc_o + jax.lax.dot_general(
+            vto.astype(acc_dtype), wo.astype(acc_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-        def body(t, accs, lvl=lvl, entries=entries, base_w=base_w):
-            acc_e, acc_o = accs
-            s0 = pl.multiple_of(base_w + t * s_tile, 8)
-            vte = ve_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
-            vto = vo_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
-            cols = rows0 + s0.astype(f32)
-            we_ref[:] = jnp.zeros_like(we_ref)
-            wo_ref[:] = jnp.zeros_like(wo_ref)
-            zero = jnp.zeros((), we_ref.dtype)
-            for ide, wte, ido, wto in entries:
-                for p in range(P):
-                    we_ref[:] += jnp.where(ide[p:p + 1, :] == cols,
-                                           wte[p:p + 1, :], zero)
-                    wo_ref[:] += jnp.where(ido[p:p + 1, :] == cols,
-                                           wto[p:p + 1, :], zero)
-            acc_e = acc_e + jax.lax.dot_general(
-                vte.astype(acc_dtype), we_ref[:].astype(acc_dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_o = acc_o + jax.lax.dot_general(
-                vto.astype(acc_dtype), wo_ref[:].astype(acc_dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return acc_e, acc_o
+    overflow = ranges_ref[0, 0, 0, 1]
+    for lvl in range(1, len(spatial_shapes)):
+        overflow = jnp.maximum(overflow, ranges_ref[0, 0, lvl, 1])
+    tl_ref[:] = jnp.zeros_like(tl_ref)
 
-        acc_e, acc_o = jax.lax.fori_loop(0, num_t, body, (acc_e, acc_o))
-    out_ref[0, 0] = (acc_e + acc_o).astype(out_ref.dtype)
+    @pl.when(overflow > 1)
+    def _tail():
+        for lvl in range(len(spatial_shapes)):
+            s_l = s_tiles[lvl]
+            entries = lvl_entries(lvl)
+            base_w = ranges_ref[0, 0, lvl, 0]
+            num_t = ranges_ref[0, 0, lvl, 1]
+            rows0 = iotas[s_l]
+
+            def body(t, carry, lvl=lvl, s_l=s_l, entries=entries,
+                     base_w=base_w, rows0=rows0):
+                s0 = pl.multiple_of(base_w + t * s_l, 8)
+                vte = ve_ref[0, pl.ds(level_starts[lvl] + s0, s_l), :]
+                vto = vo_ref[0, pl.ds(level_starts[lvl] + s0, s_l), :]
+                cols = rows0 + s0.astype(f32)
+                we = _entry_tree(entries, cols, P, 0)
+                wo = _entry_tree(entries, cols, P, 1)
+                tl_ref[:] += (jax.lax.dot_general(
+                    vte.astype(acc_dtype), we.astype(acc_dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                    vto.astype(acc_dtype), wo.astype(acc_dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                return carry
+            jax.lax.fori_loop(1, num_t, body, 0)
+
+    out_ref[0, 0] = (acc_e + acc_o + tl_ref[:]).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 8, 9))
@@ -1940,9 +2064,10 @@ def _fwd_call_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry, cx, cy,
     nqt = rx.shape[1]
     q_pad = nqt * q_tile
     P = cx.shape[2] // (M * L)
+    s_tiles = _proj_s_tiles(spatial_shapes, q_tile)
     ranges = _row_ranges_proj_pallas(rx, ry, cx, cy, cx, cy, spatial_shapes,
-                                     1, q_tile, s_tile, M)
-    level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
+                                     1, q_tile, s_tiles, M)
+    level_starts, _ = _padded_level_starts(spatial_shapes, s_tiles)
     acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
         else jnp.float32
     val_spec = pl.BlockSpec((1, S_pad, D), lambda bm, qt: (bm, 0, 0),
@@ -1956,7 +2081,7 @@ def _fwd_call_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry, cx, cy,
     kernel = functools.partial(_fwd_kernel_proj,
                                spatial_shapes=spatial_shapes,
                                level_starts=level_starts,
-                               s_tile=s_tile, P=P, acc_dtype=acc_dtype)
+                               s_tiles=s_tiles, P=P, acc_dtype=acc_dtype)
     nqt = q_pad // q_tile
     out = pl.pallas_call(
         kernel,
@@ -1969,8 +2094,7 @@ def _fwd_call_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry, cx, cy,
                                lambda bm, qt: (bm, qt, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BM, nqt, D, q_tile), value_e.dtype),
-        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
-                        pltpu.VMEM((s_tile, q_tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((D, q_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
@@ -2001,7 +2125,8 @@ def _proj_fwd(value, spatial_shapes, rx, ry, cx, cy, ca, n_queries, q_tile):
     q_tile = q_tile or (128 if q_pad <= 128 else Q_TILE)
     assert q_tile == q_tile_in, (q_tile, q_tile_in)
     value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
-    value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
+    s_tiles = _proj_s_tiles(tuple(spatial_shapes), q_tile)
+    value_e, value_o = _pack_levels(value_bm, spatial_shapes, s_tiles)
     out_bm = _fwd_call_proj(tuple(spatial_shapes), value_e, value_o,
                             rx, ry, cx, cy, ca, q_tile, S_TILE)
     out = out_bm.reshape(B, M, D, q_pad)[..., :n_queries]
