@@ -1519,6 +1519,89 @@ def _entry_tree(entries, cols, P: int, parity: int):
     return sels[0]
 
 
+def _batched_level_entries(spatial_shapes: Shapes, F: int, P: int,
+                           rx_ref, ry_ref, cx_ref, cy_ref, tx_ref, ty_ref,
+                           att_c, att_t, Qt: int):
+    """Tap generation for ALL F·L levels in one full-tile pass.
+
+    `_level_entries` runs on (P, Qt) = (4, 256) rows — half a sublane group
+    — so the 24 per-level passes of the proj kernels waste ≥half the VPU and
+    pay their op overheads 24×. This computes the identical math on ONE
+    (F·L·P, Qt) tile: per-level constants (w, h, 1/w, 1/h) become broadcast
+    columns, which multiply each row by the same scalar value the per-level
+    form used — bit-identical results, so the windows from
+    `_ranges_proj_kernel` (same arithmetic) still cover every live tap
+    exactly.
+
+    Returns [(idx_e, wt_e, idx_o, wt_o)] for top and bottom tap rows, each
+    (F·L·P, Qt) f32; level lvl's entries are rows [lvl·P, (lvl+1)·P)."""
+    L = len(spatial_shapes)
+    W = F - 1
+    f32 = jnp.float32
+
+    def cols(vals, rep):
+        return jnp.concatenate(
+            [jnp.full((P, 1), v, f32) for v in vals] * rep, axis=0)
+    w_c = cols([float(w) for _, w in spatial_shapes], 1)      # (L·P, 1)
+    h_c = cols([float(h) for h, _ in spatial_shapes], 1)
+    iw_c = cols([np.float32(1.0 / w) for _, w in spatial_shapes], 1)
+    ih_c = cols([np.float32(1.0 / h) for h, _ in spatial_shapes], 1)
+    rx_l = rx_ref[0, 0].astype(f32)                           # (L, Qt)
+    ry_l = ry_ref[0, 0].astype(f32)
+    rx_rep = jnp.concatenate(
+        [jnp.broadcast_to(rx_l[l:l + 1], (P, Qt)) for l in range(L)], 0)
+    ry_rep = jnp.concatenate(
+        [jnp.broadcast_to(ry_l[l:l + 1], (P, Qt)) for l in range(L)], 0)
+    # identical op order to `lvl_entries`: lx = ref + off·(1/w), x = lx·w − ½
+    lx = rx_rep + cx_ref[0, 0].astype(f32) * iw_c
+    ly = ry_rep + cy_ref[0, 0].astype(f32) * ih_c
+    at = att_c
+    wr, hr = w_c, h_c
+    if W:
+        # temporal levels: reference pinned to level 0 (reference L447)
+        rx0 = jnp.broadcast_to(rx_l[0:1], (W * L * P, Qt))
+        ry0 = jnp.broadcast_to(ry_l[0:1], (W * L * P, Qt))
+        w_t = jnp.concatenate([w_c] * W, 0)                   # (W·L·P, 1)
+        h_t = jnp.concatenate([h_c] * W, 0)
+        iw_t = jnp.concatenate([iw_c] * W, 0)
+        ih_t = jnp.concatenate([ih_c] * W, 0)
+        lx = jnp.concatenate(
+            [lx, rx0 + tx_ref[0, 0].astype(f32) * iw_t], 0)   # (F·L·P, Qt)
+        ly = jnp.concatenate(
+            [ly, ry0 + ty_ref[0, 0].astype(f32) * ih_t], 0)
+        at = jnp.concatenate([att_c, att_t], 0)
+        wr = jnp.concatenate([w_c, w_t], 0)
+        hr = jnp.concatenate([h_c, h_t], 0)
+    # `_level_entries` body with (rows, 1) shape columns for h/w
+    x = lx * wr - 0.5
+    y = ly * hr - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    one = jnp.float32(1.0)
+    vx0 = (x0 >= 0) & (x0 <= wr - 1)
+    vx1 = (x0 >= -1) & (x0 <= wr - 2)
+    out = []
+    for y_row, wy in ((y0, (1 - dy)), (y0 + 1, dy)):
+        vy = (y_row >= 0) & (y_row <= hr - 1)
+        wl = wy * (1 - dx) * at * jnp.where(vy & vx0, one, 0.0)
+        wrgt = wy * dx * at * jnp.where(vy & vx1, one, 0.0)
+        base = y_row * wr + x0
+        m_l = jnp.floor(base * 0.5)
+        m_r = jnp.floor((base + 1) * 0.5)
+        even = (base - 2.0 * m_l) == 0
+        out.append((jnp.where(even, m_l, m_r), jnp.where(even, wl, wrgt),
+                    jnp.where(even, m_r, m_l), jnp.where(even, wrgt, wl)))
+    return out
+
+
+def _slice_entries(ents, lvl: int, P: int):
+    """Level `lvl`'s `_level_entries`-format view of a batched entries set."""
+    sl = slice(lvl * P, (lvl + 1) * P)
+    return [(ie[sl], we[sl], io[sl], wo[sl]) for ie, we, io, wo in ents]
+
+
 def _fwd_kernel_temporal_proj(ranges_ref, *refs, spatial_shapes, level_starts,
                               s_tiles, P: int, acc_dtype, F: int):
     """Straight-line forward: ONE per-level window of a per-level static
@@ -1577,12 +1660,15 @@ def _fwd_kernel_temporal_proj(ranges_ref, *refs, spatial_shapes, level_starts,
         ly = ryl + offy * np.float32(1.0 / h)
         return _level_entries(lx, ly, at, h, w)
 
+    ents = _batched_level_entries(spatial_shapes, F, P, rx_ref, ry_ref,
+                                  cx_ref, cy_ref, tx_ref, ty_ref,
+                                  att_c, att_t, Qt)
     acc_e = jnp.zeros((D, Qt), f32)
     acc_o = jnp.zeros((D, Qt), f32)
     for lvl in range(F * L):
         ll = lvl % L
         s_l = s_tiles[ll]
-        entries = lvl_entries(lvl)
+        entries = _slice_entries(ents, lvl, P)
         base_w = ranges_ref[0, 0, lvl, 0]
         s0 = pl.multiple_of(base_w, 8)
         vte = ve_refs[lvl // L][0, pl.ds(level_starts[ll] + s0, s_l), :]
@@ -1815,9 +1901,9 @@ def _build_rows_from_proj(spatial_shapes: Shapes, F: int, rx, ry, cx, cy,
     return lx, ly, at
 
 
-@functools.partial(jax.jit, static_argnums=(0, 11, 12, 13, 14))
+@functools.partial(jax.jit, static_argnums=(0, 11, 12, 13))
 def _fwd_call_temporal_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry,
-                            cx, cy, tx, ty, ca, ta, q_tile: int, s_tile: int,
+                            cx, cy, tx, ty, ca, ta, q_tile: int,
                             T: int, rule):
     TM, S_pad, D = value_e.shape
     M = TM // T
@@ -1924,7 +2010,7 @@ def _temporal_proj_fwd(value, spatial_shapes, rx, ry, cx, cy, tx, ty, ca, ta,
     value_e, value_o = _pack_levels(value_bm, spatial_shapes, s_tiles)
     out_bm = _fwd_call_temporal_proj(tuple(spatial_shapes), value_e, value_o,
                                      rx, ry, cx, cy, tx, ty, ca, ta,
-                                     q_tile, S_TILE, T, rule)
+                                     q_tile, T, rule)
     out = out_bm.reshape(T, M, D, q_pad)[..., :n_queries]
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(T, n_queries, M * D)
     return out.astype(value.dtype), (value, rx, ry, cx, cy, tx, ty, ca, ta)
@@ -1995,11 +2081,13 @@ def _fwd_kernel_proj(ranges_ref, ve_ref, vo_ref, rx_ref, ry_ref, cx_ref,
         ly = ry_ref[0, 0, lvl:lvl + 1, :] + offy * np.float32(1.0 / h)
         return _level_entries(lx, ly, at, h, w)
 
+    ents = _batched_level_entries(spatial_shapes, 1, P, rx_ref, ry_ref,
+                                  cx_ref, cy_ref, None, None, att, None, Qt)
     acc_e = jnp.zeros((D, Qt), f32)
     acc_o = jnp.zeros((D, Qt), f32)
     for lvl in range(len(spatial_shapes)):
         s_l = s_tiles[lvl]
-        entries = lvl_entries(lvl)
+        entries = _slice_entries(ents, lvl, P)
         base_w = ranges_ref[0, 0, lvl, 0]
         s0 = pl.multiple_of(base_w, 8)
         vte = ve_ref[0, pl.ds(level_starts[lvl] + s0, s_l), :]
@@ -2052,9 +2140,9 @@ def _fwd_kernel_proj(ranges_ref, ve_ref, vo_ref, rx_ref, ry_ref, cx_ref,
     out_ref[0, 0] = (acc_e + acc_o + tl_ref[:]).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 8, 9))
+@functools.partial(jax.jit, static_argnums=(0, 8))
 def _fwd_call_proj(spatial_shapes: Shapes, value_e, value_o, rx, ry, cx, cy,
-                   ca, q_tile: int, s_tile: int):
+                   ca, q_tile: int):
     BM, S_pad, D = value_e.shape
     B = rx.shape[0]
     M = BM // B
@@ -2128,7 +2216,7 @@ def _proj_fwd(value, spatial_shapes, rx, ry, cx, cy, ca, n_queries, q_tile):
     s_tiles = _proj_s_tiles(tuple(spatial_shapes), q_tile)
     value_e, value_o = _pack_levels(value_bm, spatial_shapes, s_tiles)
     out_bm = _fwd_call_proj(tuple(spatial_shapes), value_e, value_o,
-                            rx, ry, cx, cy, ca, q_tile, S_TILE)
+                            rx, ry, cx, cy, ca, q_tile)
     out = out_bm.reshape(B, M, D, q_pad)[..., :n_queries]
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(B, n_queries, M * D)
     return out.astype(value.dtype), (value, rx, ry, cx, cy, ca)

@@ -548,6 +548,104 @@ def test_encoder_stacked_fallback_matches_xla(rng, monkeypatch):
                                rtol=1e-4, atol=1e-5)
 
 
+class TestProjOverflowFallback:
+    """The proj kernels' exactness-critical branch: spans that exceed the
+    static per-level window (`_proj_s_tiles`) must route through the
+    `pl.when(overflow > 1)` tail and stay exact. At the small test SHAPES
+    every window clamps to the full packed level (num_t <= 1), so these
+    cases use larger pyramids + x40 offsets and assert the ranges actually
+    report multi-window spans before checking parity."""
+
+    SHAPES_BIG = ((24, 32), (12, 16), (6, 8), (3, 4))
+    S_BIG = sum(h * w for h, w in SHAPES_BIG)
+
+    def _assert_overflow(self, ranges):
+        num_t = np.asarray(ranges)[..., 1]
+        assert num_t.max() >= 2, (
+            f"fallback not exercised: max num_t={num_t.max()} — widen "
+            f"offsets or shapes")
+
+    def test_temporal_proj_fallback_exact(self, rng):
+        from devis_tpu.ops.ms_deform_attn_pallas import (
+            _build_rows_from_proj, _proj_s_tiles, _row_ranges_proj_pallas,
+            _round_up, _rule_window, _tile_headmajor,
+            ms_deform_attn_rows_temporal, ms_deform_attn_temporal_proj)
+        SH = self.SHAPES_BIG
+        T, M, D, P, rule = 2, 2, 16, 2, ("all",)
+        L = len(SH)
+        W = _rule_window(rule, T)
+        F = 1 + W
+        Q = 40
+        q_pad = _round_up(Q, 128)
+        value = jnp.asarray(rng.rand(T, self.S_BIG, M, D), jnp.float32)
+        rx = jnp.asarray(rng.rand(T, L, q_pad), jnp.float32)
+        ry = jnp.asarray(rng.rand(T, L, q_pad), jnp.float32)
+        rx = rx.at[:, :, Q:].set(-10.0)
+        ry = ry.at[:, :, Q:].set(-10.0)
+
+        def rows(n):
+            return jnp.asarray(rng.randn(T * M, n * P, q_pad) * 40,
+                               jnp.float32)
+        cx, cy, ca = rows(L), rows(L), rows(L)
+        tx, ty, ta = rows(W * L), rows(W * L), rows(W * L)
+        args = (rx, ry, cx, cy, tx, ty, ca, ta)
+
+        def tref(r):
+            Tn, Ln, qp = r.shape
+            return jnp.transpose(r.reshape(Tn, Ln, qp // 128, 128),
+                                 (0, 2, 1, 3))
+        tiled = (tref(rx), tref(ry)) + tuple(
+            _tile_headmajor(a, M, 128) for a in (cx, cy, tx, ty, ca, ta))
+        s_tiles = _proj_s_tiles(SH, 128)
+        ranges = _row_ranges_proj_pallas(*tiled[:6], SH, F, 128, s_tiles, M)
+        self._assert_overflow(ranges)
+
+        out = ms_deform_attn_temporal_proj(value, SH, *tiled, Q, rule)
+        lx, ly, at = _build_rows_from_proj(SH, F, *args)
+        ref = ms_deform_attn_rows_temporal(value, SH, lx, ly, at, Q, rule)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_single_proj_fallback_exact(self, rng):
+        from devis_tpu.ops.ms_deform_attn_pallas import (
+            _build_rows_from_proj_single, _proj_s_tiles,
+            _row_ranges_proj_pallas, _round_up, _tile_headmajor,
+            ms_deform_attn_proj, ms_deform_attn_rows)
+        SH = self.SHAPES_BIG
+        B, M, D, P = 1, 2, 16, 3
+        L = len(SH)
+        Q = 40
+        q_pad = _round_up(Q, 128)
+        value = jnp.asarray(rng.rand(B, self.S_BIG, M, D), jnp.float32)
+        rx = jnp.asarray(rng.rand(B, L, q_pad), jnp.float32)
+        ry = jnp.asarray(rng.rand(B, L, q_pad), jnp.float32)
+        rx = rx.at[:, :, Q:].set(-10.0)
+        ry = ry.at[:, :, Q:].set(-10.0)
+
+        def rows():
+            return jnp.asarray(rng.randn(B * M, L * P, q_pad) * 40,
+                               jnp.float32)
+        cx, cy, ca = rows(), rows(), rows()
+        args = (rx, ry, cx, cy, ca)
+
+        def tref(r):
+            Bn, Ln, qp = r.shape
+            return jnp.transpose(r.reshape(Bn, Ln, qp // 128, 128),
+                                 (0, 2, 1, 3))
+        tiled = (tref(rx), tref(ry)) + tuple(
+            _tile_headmajor(a, M, 128) for a in (cx, cy, ca))
+        s_tiles = _proj_s_tiles(SH, 128)
+        ranges = _row_ranges_proj_pallas(*tiled[:4], tiled[2], tiled[3],
+                                         SH, 1, 128, s_tiles, M)
+        self._assert_overflow(ranges)
+
+        out = ms_deform_attn_proj(value, SH, *tiled, Q)
+        lx, ly, at = _build_rows_from_proj_single(SH, *args)
+        ref = ms_deform_attn_rows(value, SH, lx, ly, at, Q)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestRangesProjPallas:
     """The in-kernel s-window computation must match the XLA reference
     bit-for-bit (the windows gate which value tiles the forward kernel
