@@ -680,7 +680,10 @@ def _bwd_kernel_rows(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
         entries, parts = _level_entries_bwd(lx, ly, at, h, w)
         start_t = ranges_ref[0, 0, lvl, 0]
         num_t = ranges_ref[0, 0, lvl, 1]
-        zg = jnp.zeros((P, Qt), f32)
+        # per-(entry, p) row accumulators carried as SSA tuples of (1, Qt)
+        # rows — a value-space dynamic_update_slice on a carried (P, Qt)
+        # array has no Mosaic lowering inside fori bodies
+        zg = (jnp.zeros((1, Qt), f32),) * P
 
         def body(t, carry, lvl=lvl, entries=entries, start_t=start_t):
             ge_t, go_t, ge_b, go_b = carry
@@ -717,20 +720,18 @@ def _bwd_kernel_rows(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
             news = []
             for (ide, _, ido, _), acc_e, acc_o in zip(
                     entries, (ge_t, ge_b), (go_t, go_b)):
-                for p in range(P):
-                    acc_e = jax.lax.dynamic_update_slice(
-                        acc_e, acc_e[p:p + 1, :] + jnp.sum(
-                            jnp.where(ide[p:p + 1, :] == cols, G_e, 0.0),
-                            axis=0, keepdims=True), (p, 0))
-                    acc_o = jax.lax.dynamic_update_slice(
-                        acc_o, acc_o[p:p + 1, :] + jnp.sum(
-                            jnp.where(ido[p:p + 1, :] == cols, G_o, 0.0),
-                            axis=0, keepdims=True), (p, 0))
-                news.append((acc_e, acc_o))
+                news.append((
+                    tuple(acc_e[p] + jnp.sum(
+                        jnp.where(ide[p:p + 1, :] == cols, G_e, 0.0),
+                        axis=0, keepdims=True) for p in range(P)),
+                    tuple(acc_o[p] + jnp.sum(
+                        jnp.where(ido[p:p + 1, :] == cols, G_o, 0.0),
+                        axis=0, keepdims=True) for p in range(P))))
             return news[0][0], news[0][1], news[1][0], news[1][1]
 
-        ge_t, go_t, ge_b, go_b = jax.lax.fori_loop(
-            0, num_t, body, (zg, zg, zg, zg))
+        ge_t, go_t, ge_b, go_b = (
+            jnp.concatenate(rows, axis=0) for rows in jax.lax.fori_loop(
+                0, num_t, body, (zg, zg, zg, zg)))
 
         dx, dy, even_t, even_b, ml_t, mr_t, ml_b, mr_b = parts
         # undo the parity routing: per row, left/right tap upstream grads
@@ -855,7 +856,8 @@ def _bwd_kernel_rows_temporal(ranges_ref, *refs, spatial_shapes,
         entries, parts = _level_entries_bwd(lx, ly, at, h, w)
         start_t = ranges_ref[0, 0, lvl, 0]
         num_t = ranges_ref[0, 0, lvl, 1]
-        zg = jnp.zeros((P, Qt), f32)
+        # SSA per-row carries — see `_bwd_kernel_rows`
+        zg = (jnp.zeros((1, Qt), f32),) * P
 
         def body(t, carry, ll=ll, entries=entries, start_t=start_t,
                  ve_ref=ve_ref, vo_ref=vo_ref, gve_ref=gve_ref,
@@ -892,20 +894,18 @@ def _bwd_kernel_rows_temporal(ranges_ref, *refs, spatial_shapes,
             news = []
             for (ide, _, ido, _), acc_e, acc_o in zip(
                     entries, (ge_t, ge_b), (go_t, go_b)):
-                for p in range(P):
-                    acc_e = jax.lax.dynamic_update_slice(
-                        acc_e, acc_e[p:p + 1, :] + jnp.sum(
-                            jnp.where(ide[p:p + 1, :] == cols, G_e, 0.0),
-                            axis=0, keepdims=True), (p, 0))
-                    acc_o = jax.lax.dynamic_update_slice(
-                        acc_o, acc_o[p:p + 1, :] + jnp.sum(
-                            jnp.where(ido[p:p + 1, :] == cols, G_o, 0.0),
-                            axis=0, keepdims=True), (p, 0))
-                news.append((acc_e, acc_o))
+                news.append((
+                    tuple(acc_e[p] + jnp.sum(
+                        jnp.where(ide[p:p + 1, :] == cols, G_e, 0.0),
+                        axis=0, keepdims=True) for p in range(P)),
+                    tuple(acc_o[p] + jnp.sum(
+                        jnp.where(ido[p:p + 1, :] == cols, G_o, 0.0),
+                        axis=0, keepdims=True) for p in range(P))))
             return news[0][0], news[0][1], news[1][0], news[1][1]
 
-        ge_t, go_t, ge_b, go_b = jax.lax.fori_loop(
-            0, num_t, body, (zg, zg, zg, zg))
+        ge_t, go_t, ge_b, go_b = (
+            jnp.concatenate(rows, axis=0) for rows in jax.lax.fori_loop(
+                0, num_t, body, (zg, zg, zg, zg)))
 
         dx, dy, even_t, even_b, ml_t, mr_t, ml_b, mr_b = parts
         gl_t = jnp.where(even_t, ge_t, go_t) * ml_t
@@ -1688,15 +1688,27 @@ def _fwd_kernel_temporal_proj(ranges_ref, *refs, spatial_shapes, level_starts,
     # Overflow fallback: windows 1..num_t-1 per level, entered at most once
     # per program. Entries are recomputed inside so nothing large is
     # carried across the region boundary; the f32 side-accumulator keeps
-    # the math identical to the main path.
-    overflow = ranges_ref[0, 0, 0, 1]
-    for lvl in range(1, F * L):
+    # the math identical to the main path. Levels whose static window
+    # covers the whole packed level (s_l >= ceil(h·w/2)) can never report
+    # num_t > 1 — their tail loops are dead code and each dead `fori`
+    # region still costs ~600 cycles per taken program, so skip them
+    # statically.
+    def _can_overflow(ll):
+        h, w = spatial_shapes[ll]
+        return s_tiles[ll] < -(-h * w // 2)
+
+    live = [lvl for lvl in range(F * L) if _can_overflow(lvl % L)]
+    if not live:                      # every window covers its whole level
+        out_ref[0, 0] = (acc_e + acc_o).astype(out_ref.dtype)
+        return
+    overflow = ranges_ref[0, 0, live[0], 1]
+    for lvl in live[1:]:
         overflow = jnp.maximum(overflow, ranges_ref[0, 0, lvl, 1])
     tl_ref[:] = jnp.zeros_like(tl_ref)
 
     @pl.when(overflow > 1)
     def _tail():
-        for lvl in range(F * L):
+        for lvl in live:
             ll = lvl % L
             s_l = s_tiles[ll]
             entries = lvl_entries(lvl)
@@ -2104,14 +2116,21 @@ def _fwd_kernel_proj(ranges_ref, ve_ref, vo_ref, rx_ref, ry_ref, cx_ref,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    overflow = ranges_ref[0, 0, 0, 1]
-    for lvl in range(1, len(spatial_shapes)):
+    # skip tail loops for levels whose window covers the whole packed level
+    # (they can never report num_t > 1 — see the temporal kernel)
+    live = [lvl for lvl, (h, w) in enumerate(spatial_shapes)
+            if s_tiles[lvl] < -(-h * w // 2)]
+    if not live:
+        out_ref[0, 0] = (acc_e + acc_o).astype(out_ref.dtype)
+        return
+    overflow = ranges_ref[0, 0, live[0], 1]
+    for lvl in live[1:]:
         overflow = jnp.maximum(overflow, ranges_ref[0, 0, lvl, 1])
     tl_ref[:] = jnp.zeros_like(tl_ref)
 
     @pl.when(overflow > 1)
     def _tail():
-        for lvl in range(len(spatial_shapes)):
+        for lvl in live:
             s_l = s_tiles[lvl]
             entries = lvl_entries(lvl)
             base_w = ranges_ref[0, 0, lvl, 0]
