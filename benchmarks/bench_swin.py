@@ -34,6 +34,9 @@ def _cfg(train: bool, remat: bool):
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     if train:
         cfg.TPU.SWIN_GRADIENT_CHECKPOINT = remat
+        # the 6+6 transformer's activations alone exceed one v5e's 16 GB at
+        # SwinL train shapes (reference peak 26-40 GB); remat per layer
+        cfg.TPU.TRANSFORMER_GRADIENT_CHECKPOINT = remat
     cfg.freeze()
     return cfg
 

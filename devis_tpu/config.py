@@ -294,6 +294,10 @@ _C.TPU.EVAL_SIZE_BUCKETS = 1         # number of static (H, W) eval buckets per 
 _C.TPU.SWIN_GRADIENT_CHECKPOINT = False  # remat each Swin block (the TPU
                                      # equivalent of the reference's
                                      # torch.utils.checkpoint, swin_backbone.py:338)
+_C.TPU.TRANSFORMER_GRADIENT_CHECKPOINT = False  # remat each encoder/decoder
+                                     # layer — needed to fit SwinL training
+                                     # (reference peak 26-40 GB, TRAIN.md:27-33)
+                                     # into one 16 GB v5e chip
 _C.TPU.MAX_INSTANCES = 25            # target-slot capacity per sample (static shape;
                                      # matches the reference's 25-instance cap, coco_joint_vis.py:33)
 _C.TPU.MASKHEAD_BAND_NCAND = [3, 3]  # banded DCNv2 candidate window (x, y): integer

@@ -72,6 +72,7 @@ def build_model(num_classes: int, cfg, impl: str = None):
         dropout=cfg.MODEL.DROPOUT,
         enc_n_points=cfg.MODEL.TRANSFORMER.ENC_N_POINTS,
         dec_n_points=cfg.MODEL.TRANSFORMER.DEC_N_POINTS,
+        remat_layers=cfg.TPU.TRANSFORMER_GRADIENT_CHECKPOINT,
         impl=impl)
     if is_vis:
         da = cfg.MODEL.DEVIS.DEFORMABLE_ATTENTION

@@ -189,6 +189,7 @@ class DeformableTransformer(nn.Module):
     dec_n_temporal_points: int = 2
     instance_aware: bool = True
     impl: str = "auto"
+    remat_layers: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -201,8 +202,16 @@ class DeformableTransformer(nn.Module):
         enc_t_window = (self.num_frames - 1 if self.enc_connect_all
                         else self.enc_temporal_window)
         enc_variant = "devis" if self.variant == "devis" else "image"
+        # Per-layer remat (TPU.TRANSFORMER_GRADIENT_CHECKPOINT): only layer
+        # inputs survive as autodiff residuals; everything inside recomputes
+        # on the backward pass. static_argnums count `self` as 0 (flax
+        # subtracts 1 internally): spatial_shapes + deterministic.
+        enc_cls = (nn.remat(EncoderLayer, static_argnums=(4, 6))
+                   if self.remat_layers else EncoderLayer)
+        dec_cls = (nn.remat(DecoderLayer, static_argnums=(5, 7))
+                   if self.remat_layers else DecoderLayer)
         self.encoder_layers = [
-            EncoderLayer(self.d_model, self.dim_feedforward, self.dropout,
+            enc_cls(self.d_model, self.dim_feedforward, self.dropout,
                          self.num_feature_levels, self.n_heads,
                          variant=enc_variant, n_frames=self.num_frames,
                          t_window=enc_t_window, connect_all=self.enc_connect_all,
@@ -212,7 +221,7 @@ class DeformableTransformer(nn.Module):
                          name=f"encoder_layers_{i}")
             for i in range(self.num_encoder_layers)]
         self.decoder_layers = [
-            DecoderLayer(self.d_model, self.dim_feedforward, self.dropout,
+            dec_cls(self.d_model, self.dim_feedforward, self.dropout,
                          self.num_feature_levels, self.n_heads,
                          variant=self.variant, n_frames=self.num_frames,
                          instance_aware=self.instance_aware,
@@ -261,8 +270,10 @@ class DeformableTransformer(nn.Module):
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
         memory = src_flat.astype(self.dtype)
         for layer in self.encoder_layers:
+            # deterministic passed positionally: nn.remat static_argnums
+            # cover positional args only
             memory = layer(memory, pos_flat, enc_ref, spatial_shapes, mask_flat,
-                           deterministic=deterministic)
+                           deterministic)
 
         # --- decoder prep (reference L104-110 / devis L49-56) ---
         query_pos, tgt = jnp.split(query_embed.astype(self.dtype), 2, axis=1)
@@ -287,7 +298,7 @@ class DeformableTransformer(nn.Module):
                 vr = dec_valid_ratios
             ref_input = reference_points[:, :, None] * vr[:, None]
             output = layer(output, query_pos, ref_input, memory, spatial_shapes,
-                           mask_flat, deterministic=deterministic)
+                           mask_flat, deterministic)
             reference_points = self._refine(lid, output, reference_points,
                                             bbox_embed, ref_point_embed)
             intermediate.append(output)
