@@ -48,6 +48,8 @@ def main(steps: int = 150):
     cfg.INPUT.MIN_SIZE_TEST = 128
     cfg.INPUT.MAX_SIZE_TEST = 192
     cfg.SOLVER.BASE_LR = 4e-4
+    if "--no-mdc" in sys.argv:       # plain-conv mask head (banded-DCNv2 A/B)
+        cfg.MODEL.MASK_HEAD.USE_MDC = False
     cfg.freeze()
 
     model = build_model(num_classes=41, cfg=cfg)
@@ -86,7 +88,22 @@ def main(steps: int = 150):
     val = SyntheticVISValDataset(num_frames=T, stride=2, n_videos=2,
                                  video_len=8, size=(H, W),
                                  min_size=128, max_size=192)
-    tracker = build_tracker(cfg, model, host_vars)
+    if cfg.MODEL.MASK_HEAD.USE_MDC:
+        # The aggressive overfit regime (LR 4e-4, 1000 steps, 2 videos)
+        # drives the zero-init offset fields far out of the banded kernel's
+        # window — exactly the situation the band-coverage audit exists for
+        # (docs/PERFORMANCE.md §Band-truncation risk). Run it and report.
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from accuracy_gate import audit_band_coverage
+        cov_ok = audit_band_coverage(
+            cfg, 41, host_vars,
+            (batch0["images"][0], jnp.asarray(batch0["pad_mask"][0])), 0.99)
+        print(f"band-coverage audit after overfit: "
+              f"{'PASS' if cov_ok else 'LOW (expected: offsets drifted)'}")
+    eval_model = model
+    if "--exact-eval" in sys.argv:   # exact XLA DCNv2 twin (same param tree)
+        eval_model = build_model(num_classes=41, cfg=cfg, impl="xla")
+    tracker = build_tracker(cfg, eval_model, host_vars)
     out = inference_vis(tracker, val, verbose=True)
     ap = out["eval"]["AP"]
 

@@ -59,8 +59,14 @@ def _deform_conv2d_banded_diff(x, offset, mask, weight, bias, padding):
 
 
 def _banded_diff_fwd(x, offset, mask, weight, bias, padding):
-    from .deform_conv_banded import deform_conv2d_banded
-    return (deform_conv2d_banded(x, offset, mask, weight, bias, padding),
+    # Under differentiation (training) the FORWARD is the exact one-hot
+    # route, not the banded kernel: the VJP computes gradients of the exact
+    # composition, and a banded primal would make the loss see dropped
+    # out-of-band taps the gradients never account for — training pressure
+    # can push offsets out of band and the mask head stops converging
+    # (caught by the r5 overfit trendline: AP 72 → 0). Inference (no grad)
+    # still runs the fast banded kernel via the custom_vjp primal.
+    return (_deform_conv2d_pallas(x, offset, mask, weight, bias, padding),
             (x, offset, mask, weight, bias))
 
 
@@ -112,8 +118,9 @@ def _mdc_reference(x, w_off, b_off, w_mod, b_mod, weight, bias, padding):
 
 def _mdc_fwd(x, w_off, b_off, w_mod, b_mod, weight, bias, padding, ncand,
              ncand_y):
-    return (modulated_deform_conv2d(x, w_off, b_off, w_mod, b_mod, weight,
-                                    bias, padding, ncand, ncand_y),
+    # exact composition under differentiation — see `_banded_diff_fwd`
+    return (_mdc_reference(x, w_off, b_off, w_mod, b_mod, weight, bias,
+                           padding),
             (x, w_off, b_off, w_mod, b_mod, weight, bias))
 
 
@@ -141,8 +148,11 @@ def modulated_deform_conv2d_cf(x, w_off, b_off, w_mod, b_mod, weight, bias,
 
 def _mdc_cf_fwd(x, w_off, b_off, w_mod, b_mod, weight, bias, padding, ncand,
                 ncand_y):
-    return (modulated_deform_conv2d_cf(x, w_off, b_off, w_mod, b_mod, weight,
-                                       bias, padding, ncand, ncand_y),
+    # exact composition under differentiation — see `_banded_diff_fwd`
+    x_nhwc = jnp.transpose(x, (0, 2, 3, 1))
+    out = _mdc_reference(x_nhwc, w_off, b_off, w_mod, b_mod, weight, bias,
+                         padding)
+    return (jnp.transpose(out, (0, 3, 1, 2)),
             (x, w_off, b_off, w_mod, b_mod, weight, bias))
 
 

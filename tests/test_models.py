@@ -229,3 +229,35 @@ class TestChannelFirstMaskHead:
         # offset convs are zero-init → all taps in-band → banded == exact
         np.testing.assert_allclose(np.asarray(y_cf), np.asarray(y_nhwc),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestTransformerRemat:
+    """TPU.TRANSFORMER_GRADIENT_CHECKPOINT (per-layer nn.remat — needed to
+    fit SwinL training in one 16 GB chip) must not change the math: grads
+    are bit-identical to the no-remat transformer."""
+
+    def test_remat_layers_grads_bit_identical(self, rng_np):
+        from devis_tpu.models.transformer import DeformableTransformer
+        SH = ((8, 8), (4, 4))
+        kwargs = dict(d_model=32, n_heads=2, num_encoder_layers=1,
+                      num_decoder_layers=1, dim_feedforward=64,
+                      num_feature_levels=len(SH), variant="image", impl="xla")
+        srcs = [jnp.asarray(rng_np.rand(1, h, w, 32), jnp.float32)
+                for h, w in SH]
+        masks = [jnp.zeros((1, h, w), bool) for h, w in SH]
+        pos = [jnp.asarray(rng_np.rand(1, h, w, 32), jnp.float32)
+               for h, w in SH]
+        qe = jnp.asarray(rng_np.rand(10, 64), jnp.float32)
+        tr_r = DeformableTransformer(remat_layers=True, **kwargs)
+        tr_n = DeformableTransformer(remat_layers=False, **kwargs)
+        variables = tr_n.init(jax.random.PRNGKey(0), srcs, masks, pos, qe)
+
+        def loss(v, tr):
+            out = tr.apply(v, srcs, masks, pos, qe)
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2)
+                       for o in jax.tree.leaves(out) if hasattr(o, "astype"))
+
+        g_r = jax.grad(lambda v: loss(v, tr_r))(variables)
+        g_n = jax.grad(lambda v: loss(v, tr_n))(variables)
+        for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_n)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
