@@ -112,6 +112,53 @@ def run_coco():
     return 3
 
 
+def run_train():
+    """Trace the DeVIS R50 train step (mirrors bench_train_step.py) —
+    the backward-op table for docs/PERFORMANCE.md §Training."""
+    import jax, jax.numpy as jnp
+    import numpy as np
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    from devis_tpu.config import get_cfg_defaults
+    from devis_tpu.datasets import collate_clip
+    from devis_tpu.datasets.synthetic import SyntheticVISDataset
+    from devis_tpu.engine import create_train_state, make_train_step
+    from devis_tpu.models import build_model
+    T, H, W = 6, 384, 640
+    cfg = get_cfg_defaults()
+    cfg.DATASETS.TYPE = "vis"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.NUM_QUERIES = 60
+    cfg.MODEL.DEVIS.NUM_FRAMES = T
+    cfg.MODEL.BBX_GRADIENT_PROP = True
+    cfg.MODEL.LOSS.AUX_LOSS_WEIGHTING = True
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.freeze()
+    model = build_model(num_classes=41, cfg=cfg)
+    ds = SyntheticVISDataset(num_frames=T, n_videos=1, video_len=T + 1,
+                             size=(H, W))
+    clip = collate_clip(ds[0], (H, W), max_instances=10)
+    batch = jax.tree.map(lambda x: np.stack([x]), clip)
+    variables = jax.jit(model.init, backend="cpu",
+                        static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch["images"][0],
+        jnp.asarray(batch["pad_mask"][0]),
+        targets=jax.tree.map(lambda x: x[0], batch["targets"]), train=True)
+    state = create_train_state(cfg, variables, steps_per_epoch=100)
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    batch = jax.device_put(batch, dev)
+    step_fn = make_train_step(model, cfg, num_classes=41)
+    rng = jax.random.PRNGKey(7)
+    state, metrics = step_fn(state, batch, rng)
+    float(metrics["loss"])
+    with jax.profiler.trace(TRACE_DIR):
+        for _ in range(3):
+            state, metrics = step_fn(state, batch, rng)
+        float(metrics["loss"])
+    return 3
+
+
 def summarize(n_iter: int, top: int = 40):
     files = glob.glob(os.path.join(TRACE_DIR, "**", "*.trace.json.gz"),
                       recursive=True)
@@ -156,5 +203,5 @@ def summarize(n_iter: int, top: int = 40):
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "clip"
     shutil.rmtree(TRACE_DIR, ignore_errors=True)
-    n = {"clip": run_clip, "coco": run_coco}[mode]()
+    n = {"clip": run_clip, "coco": run_coco, "train": run_train}[mode]()
     summarize(n)
