@@ -84,16 +84,21 @@ def _level_starts(spatial_shapes: Shapes):
     return tuple(starts)
 
 
-def _padded_level_starts(spatial_shapes: Shapes, s_tile):
+def _padded_level_starts(spatial_shapes: Shapes, s_tile, tight: bool = False):
     """Level starts in PACKED (row-pair) space when every level is padded to
     an s_tile multiple PLUS one extra zero s_tile — forward windows start at
     the 8-aligned span minimum and may overrun the level end by < s_tile.
     Packed level size = ceil(h·w / 2). `s_tile` may be one int or a
-    per-level tuple (projection-fused path)."""
+    per-level tuple (projection-fused path). `tight` pads each level to
+    round_up(n2 + s, 32) instead — sufficient for 8-aligned window bases
+    (max read end = span max + s) and ~20% less value staging at the
+    per-level window sizes (region-free backward)."""
     tiles = _as_level_tiles(spatial_shapes, s_tile)
     starts = [0]
     for (h, w), s in zip(spatial_shapes, tiles):
-        starts.append(starts[-1] + _round_up(-(-h * w // 2), s) + s)
+        n2 = -(-h * w // 2)
+        pad = _round_up(n2 + s, 32) if tight else _round_up(n2, s) + s
+        starts.append(starts[-1] + pad)
     return tuple(starts[:-1]), starts[-1]
 
 
@@ -575,15 +580,19 @@ def _bwd_call(spatial_shapes: Shapes, value_e, value_o, idx, wt, ranges, g_bm,
 # ---------------------------------------------------------------------------
 
 
-def _row_ranges_bwd(lx, ly, spatial_shapes: Shapes, q_tile: int, s_tile: int,
+def _row_ranges_bwd(lx, ly, spatial_shapes: Shapes, q_tile: int, s_tile,
                     P: int):
     """Per (b·m·g, q-tile, level) packed s-window [start_tile, count] in
-    s_tile units (the backward kernel's grad_value writes are tile-aligned).
+    the level's tile units (the backward kernel's grad_value writes are
+    tile-aligned). `s_tile` may be one int or a per-level tuple (the
+    region-free backward sizes windows per level like `_proj_s_tiles`).
     Same span math as `_row_ranges`."""
     BMG, LP, q_pad = lx.shape
     nqt = q_pad // q_tile
+    tiles = _as_level_tiles(spatial_shapes, s_tile)
     sts, cts = [], []
     for lvl, (h, w) in enumerate(spatial_shapes):
+        s_l = tiles[lvl]
         x = lx[:, lvl * P:(lvl + 1) * P].reshape(BMG, P, nqt, q_tile) * w - 0.5
         y = ly[:, lvl * P:(lvl + 1) * P].reshape(BMG, P, nqt, q_tile) * h - 0.5
         x0 = jnp.floor(x)
@@ -596,9 +605,14 @@ def _row_ranges_bwd(lx, ly, spatial_shapes: Shapes, q_tile: int, s_tile: int,
         big = jnp.float32(1 << 30)
         mn = jnp.min(jnp.where(valid, lo, big), axis=(1, 3)).astype(jnp.int32)
         mx = jnp.max(jnp.where(valid, hi, -1.0), axis=(1, 3)).astype(jnp.int32)
-        start = jnp.where(mx >= 0, mn // s_tile, 0)
-        cts.append(jnp.where(mx >= 0, mx // s_tile + 1 - mn // s_tile, 0))
-        sts.append(start)
+        # 8-aligned span base (forward-proj style), count in s_l units —
+        # windows hug the span instead of snapping to s_l-tile boundaries,
+        # so levels need only ~s_l of padding (tile-aligned starts would
+        # force round_up(n2, s_l) + s_l, ~20% more value staging at the
+        # per-level window sizes)
+        base = (mn // 8) * 8
+        sts.append(jnp.where(mx >= 0, base, 0))
+        cts.append(jnp.where(mx >= 0, (mx - base) // s_l + 1, 0))
     st = jnp.stack(sts, axis=-1)                       # (BMG, nqt, L)
     ct = jnp.stack(cts, axis=-1)
     return jnp.stack([st, ct], axis=-1).astype(jnp.int32)
@@ -642,22 +656,99 @@ def _level_entries_bwd(lx, ly, at, h: int, w: int):
     return entries, parts
 
 
-def _bwd_kernel_rows(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
-                     g_ref, gve_ref, gvo_ref, glx_ref, gly_ref, gat_ref,
-                     we_ref, wo_ref, *, spatial_shapes, level_starts,
-                     s_tile: int, P: int, acc_dtype, groups: int = 1):
-    """Backward for one (b·m·g, q-tile): grad_value via the same in-kernel
-    tap generation as the forward (Wᵀ @ g per visited tile), and the full
-    bilinear chain rule to raw rows in-kernel — per level the 4 parity-routed
-    per-entry upstream sums G are accumulated over the visited tiles, then
+def _bwd_window(ve_ref, vo_ref, gve_ref, gvo_ref, entries, base, cols,
+                s_l: int, P: int, g, acc_dtype):
+    """One window's backward work: grad_value tile += Wᵀ @ g (deterministic,
+    scatter-free) and the 4 parity-routed per-entry upstream row sums
+    G_class[p] = Σ_s [idx_p == s] · (v_class[s] · g) — returns them as
+    (e_rows, o_rows) tuples of (1, Qt) for the top and bottom tap rows."""
+    f32 = jnp.float32
+    vte = ve_ref[0, pl.ds(base, s_l), :]
+    vto = vo_ref[0, pl.ds(base, s_l), :]
+    we = _entry_tree(entries, cols, P, 0)
+    wo = _entry_tree(entries, cols, P, 1)
+    gve_ref[0, pl.ds(base, s_l), :] += jax.lax.dot(
+        we.astype(acc_dtype), g.astype(acc_dtype),
+        preferred_element_type=jnp.float32).astype(gve_ref.dtype)
+    gvo_ref[0, pl.ds(base, s_l), :] += jax.lax.dot(
+        wo.astype(acc_dtype), g.astype(acc_dtype),
+        preferred_element_type=jnp.float32).astype(gvo_ref.dtype)
+    G_e = jax.lax.dot_general(
+        vte.astype(acc_dtype), g.astype(acc_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (s_l, Qt)
+    G_o = jax.lax.dot_general(
+        vto.astype(acc_dtype), g.astype(acc_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sums = []
+    for (ide, _, ido, _) in entries:
+        sums.append((
+            tuple(jnp.sum(jnp.where(ide[p:p + 1, :] == cols, G_e, 0.0),
+                          axis=0, keepdims=True) for p in range(P)),
+            tuple(jnp.sum(jnp.where(ido[p:p + 1, :] == cols, G_o, 0.0),
+                          axis=0, keepdims=True) for p in range(P))))
+    return sums
+
+
+def _bwd_chain(parts, at, sums, h: int, w: int):
+    """Bilinear chain rule from the per-entry G row sums (LINEAR in the
+    sums, so tail windows can apply it to their own sums and add):
         gat = Σ rows  wy · ((1−dx)·m_l·g_l + dx·m_r·g_r)
         glx = at · Σ rows wy · (m_r·g_r − m_l·g_l) · w
         gly = at · ((…bottom…) − (…top…)) · h
     (masks m zero dead taps exactly like the `_taps_rows` XLA chain rule
     did via its validity factors)."""
+    dx, dy, even_t, even_b, ml_t, mr_t, ml_b, mr_b = parts
+    (e_t, o_t), (e_b, o_b) = sums
+    ge_t = jnp.concatenate(e_t, axis=0)
+    go_t = jnp.concatenate(o_t, axis=0)
+    ge_b = jnp.concatenate(e_b, axis=0)
+    go_b = jnp.concatenate(o_b, axis=0)
+    # undo the parity routing: per row, left/right tap upstream grads
+    gl_t = jnp.where(even_t, ge_t, go_t) * ml_t
+    gr_t = jnp.where(even_t, go_t, ge_t) * mr_t
+    gl_b = jnp.where(even_b, ge_b, go_b) * ml_b
+    gr_b = jnp.where(even_b, go_b, ge_b) * mr_b
+    top = (1 - dx) * gl_t + dx * gr_t
+    bot = (1 - dx) * gl_b + dx * gr_b
+    gat_lvl = (1 - dy) * top + dy * bot
+    glx_lvl = at * ((1 - dy) * (gr_t - gl_t)
+                    + dy * (gr_b - gl_b)) * np.float32(w)
+    gly_lvl = at * (bot - top) * np.float32(h)
+    return glx_lvl, gly_lvl, gat_lvl
+
+
+def _add_sums(a, b):
+    return [(tuple(x + y for x, y in zip(ae, be)),
+             tuple(x + y for x, y in zip(ao, bo)))
+            for (ae, ao), (be, bo) in zip(a, b)]
+
+
+def _zero_sums(P: int, Qt: int):
+    zg = (jnp.zeros((1, Qt), jnp.float32),) * P
+    return [(zg, zg), (zg, zg)]
+
+
+def _bwd_kernel_rows(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
+                     g_ref, gve_ref, gvo_ref, glx_ref, gly_ref, gat_ref,
+                     *, spatial_shapes, level_starts, s_tiles, P: int,
+                     acc_dtype, groups: int = 1):
+    """Region-free backward for one (b·m·g, q-tile), mirroring the forward
+    proj kernels' r4 design (each per-level `fori_loop` region costs ~600
+    cycles even untaken): ONE straight-line window per level of a per-level
+    static size, plus a single per-program `pl.when` overflow tail. The
+    chain rule (`_bwd_chain`) is linear in the per-entry G sums, so the
+    tail applies it to its own windows' sums and adds the correction into
+    the row-grad outputs; grad_value tiles accumulate per window either
+    way. Levels with no valid taps (count 0) run their window at tile 0:
+    the W weights carry the validity masks (zero ⇒ grad_value += 0) and
+    the chain rule's m_l/m_r factors zero any junk G sums — identical
+    results to the skipped-loop form."""
     Qt = g_ref.shape[1]
     f32 = jnp.float32
-    rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0).astype(f32)
+    iotas = {s: jax.lax.broadcasted_iota(jnp.int32, (s, Qt), 0).astype(f32)
+             for s in sorted(set(s_tiles))}
     g = g_ref[0].astype(f32)                              # (Qt, D)
 
     bm_i = pl.program_id(0)
@@ -668,83 +759,29 @@ def _bwd_kernel_rows(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
         gve_ref[0] = jnp.zeros_like(gve_ref[0])
         gvo_ref[0] = jnp.zeros_like(gvo_ref[0])
 
+    def lvl_rows(lvl):
+        h, w = spatial_shapes[lvl]
+        lx = lx_ref[0, 0, lvl * P:(lvl + 1) * P, :]
+        ly = ly_ref[0, 0, lvl * P:(lvl + 1) * P, :]
+        at = at_ref[0, 0, lvl * P:(lvl + 1) * P, :]
+        entries, parts = _level_entries_bwd(lx, ly, at, h, w)
+        return entries, parts, at
+
     # Per-level (P, Qt) row grads are collected and stored as ONE aligned
     # full-block write after the loop: P=4-row stores at 4-row offsets are
     # not sublane-tile aligned and Mosaic may reject them (reads of the same
     # slices are relayout-handled; stores are stricter).
     glx_rows, gly_rows, gat_rows = [], [], []
     for lvl, (h, w) in enumerate(spatial_shapes):
-        lx = lx_ref[0, 0, lvl * P:(lvl + 1) * P, :]
-        ly = ly_ref[0, 0, lvl * P:(lvl + 1) * P, :]
-        at = at_ref[0, 0, lvl * P:(lvl + 1) * P, :]
-        entries, parts = _level_entries_bwd(lx, ly, at, h, w)
+        s_l = s_tiles[lvl]
+        entries, parts, at = lvl_rows(lvl)
         start_t = ranges_ref[0, 0, lvl, 0]
-        num_t = ranges_ref[0, 0, lvl, 1]
-        # per-(entry, p) row accumulators carried as SSA tuples of (1, Qt)
-        # rows — a value-space dynamic_update_slice on a carried (P, Qt)
-        # array has no Mosaic lowering inside fori bodies
-        zg = (jnp.zeros((1, Qt), f32),) * P
-
-        def body(t, carry, lvl=lvl, entries=entries, start_t=start_t):
-            ge_t, go_t, ge_b, go_b = carry
-            s0 = pl.multiple_of((start_t + t) * s_tile, s_tile)
-            base = level_starts[lvl] + s0
-            vte = ve_ref[0, pl.ds(base, s_tile), :]
-            vto = vo_ref[0, pl.ds(base, s_tile), :]
-            cols = rows0 + s0.astype(f32)
-            we_ref[:] = jnp.zeros_like(we_ref)
-            wo_ref[:] = jnp.zeros_like(wo_ref)
-            zero = jnp.zeros((), we_ref.dtype)
-            for ide, wte, ido, wto in entries:
-                for p in range(P):
-                    we_ref[:] += jnp.where(ide[p:p + 1, :] == cols,
-                                           wte[p:p + 1, :], zero)
-                    wo_ref[:] += jnp.where(ido[p:p + 1, :] == cols,
-                                           wto[p:p + 1, :], zero)
-            # grad_value tile += Wᵀ @ g (deterministic, scatter-free)
-            gve_ref[0, pl.ds(base, s_tile), :] += jax.lax.dot(
-                we_ref[:].astype(acc_dtype), g.astype(acc_dtype),
-                preferred_element_type=jnp.float32).astype(gve_ref.dtype)
-            gvo_ref[0, pl.ds(base, s_tile), :] += jax.lax.dot(
-                wo_ref[:].astype(acc_dtype), g.astype(acc_dtype),
-                preferred_element_type=jnp.float32).astype(gvo_ref.dtype)
-            # per-entry upstream sums: G_class[s, q] = v_class[s]·g[q]
-            G_e = jax.lax.dot_general(
-                vte.astype(acc_dtype), g.astype(acc_dtype),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (s_tile, Qt)
-            G_o = jax.lax.dot_general(
-                vto.astype(acc_dtype), g.astype(acc_dtype),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            news = []
-            for (ide, _, ido, _), acc_e, acc_o in zip(
-                    entries, (ge_t, ge_b), (go_t, go_b)):
-                news.append((
-                    tuple(acc_e[p] + jnp.sum(
-                        jnp.where(ide[p:p + 1, :] == cols, G_e, 0.0),
-                        axis=0, keepdims=True) for p in range(P)),
-                    tuple(acc_o[p] + jnp.sum(
-                        jnp.where(ido[p:p + 1, :] == cols, G_o, 0.0),
-                        axis=0, keepdims=True) for p in range(P))))
-            return news[0][0], news[0][1], news[1][0], news[1][1]
-
-        ge_t, go_t, ge_b, go_b = (
-            jnp.concatenate(rows, axis=0) for rows in jax.lax.fori_loop(
-                0, num_t, body, (zg, zg, zg, zg)))
-
-        dx, dy, even_t, even_b, ml_t, mr_t, ml_b, mr_b = parts
-        # undo the parity routing: per row, left/right tap upstream grads
-        gl_t = jnp.where(even_t, ge_t, go_t) * ml_t
-        gr_t = jnp.where(even_t, go_t, ge_t) * mr_t
-        gl_b = jnp.where(even_b, ge_b, go_b) * ml_b
-        gr_b = jnp.where(even_b, go_b, ge_b) * mr_b
-        top = (1 - dx) * gl_t + dx * gr_t
-        bot = (1 - dx) * gl_b + dx * gr_b
-        gat_lvl = (1 - dy) * top + dy * bot
-        glx_lvl = at * ((1 - dy) * (gr_t - gl_t)
-                        + dy * (gr_b - gl_b)) * np.float32(w)
-        gly_lvl = at * (bot - top) * np.float32(h)
+        s0 = pl.multiple_of(start_t, 8)
+        cols = iotas[s_l] + s0.astype(f32)
+        sums = _bwd_window(ve_ref, vo_ref, gve_ref, gvo_ref, entries,
+                           level_starts[lvl] + s0, cols, s_l, P, g,
+                           acc_dtype)
+        glx_lvl, gly_lvl, gat_lvl = _bwd_chain(parts, at, sums, h, w)
         glx_rows.append(glx_lvl)
         gly_rows.append(gly_lvl)
         gat_rows.append(gat_lvl)
@@ -753,19 +790,70 @@ def _bwd_kernel_rows(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
     gly_ref[0, 0] = jnp.concatenate(gly_rows, axis=0)
     gat_ref[0, 0] = jnp.concatenate(gat_rows, axis=0)
 
+    # Overflow tail: windows 1..count-1 for levels whose window does not
+    # already cover the whole packed level (see the forward kernels).
+    live = [lvl for lvl, (h, w) in enumerate(spatial_shapes)
+            if s_tiles[lvl] < -(-h * w // 2)]
+    if not live:
+        return
+    overflow = ranges_ref[0, 0, live[0], 1]
+    for lvl in live[1:]:
+        overflow = jnp.maximum(overflow, ranges_ref[0, 0, lvl, 1])
+
+    @pl.when(overflow > 1)
+    def _tail():
+        cx_rows = []
+        cy_rows = []
+        ca_rows = []
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            if lvl not in live:
+                z = jnp.zeros((P, Qt), f32)
+                cx_rows.append(z)
+                cy_rows.append(z)
+                ca_rows.append(z)
+                continue
+            s_l = s_tiles[lvl]
+            entries, parts, at = lvl_rows(lvl)
+            start_t = ranges_ref[0, 0, lvl, 0]
+            num_t = ranges_ref[0, 0, lvl, 1]
+            rows0 = iotas[s_l]
+
+            def body(t, carry, lvl=lvl, s_l=s_l, entries=entries,
+                     start_t=start_t, rows0=rows0):
+                s0 = pl.multiple_of(start_t + t * s_l, 8)
+                cols = rows0 + s0.astype(f32)
+                sums = _bwd_window(ve_ref, vo_ref, gve_ref, gvo_ref,
+                                   entries, level_starts[lvl] + s0, cols,
+                                   s_l, P, g, acc_dtype)
+                return _add_sums(carry, sums)
+
+            tail_sums = jax.lax.fori_loop(1, num_t, body,
+                                          _zero_sums(P, Qt))
+            cx_l, cy_l, ca_l = _bwd_chain(parts, at, tail_sums, h, w)
+            cx_rows.append(cx_l)
+            cy_rows.append(cy_l)
+            ca_rows.append(ca_l)
+        glx_ref[0, 0] += jnp.concatenate(cx_rows, axis=0)
+        gly_ref[0, 0] += jnp.concatenate(cy_rows, axis=0)
+        gat_ref[0, 0] += jnp.concatenate(ca_rows, axis=0)
+
 
 @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9))
 def _bwd_call_rows(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
-                   g_bm, q_tile: int, s_tile: int, groups: int = 1):
+                   g_bm, q_tile: int, s_tiles, groups: int = 1):
     """lx/ly/at: (B·M·G, L·P, q_pad) f32 raw rows (forward operands);
-    g_bm: (B·M·G, q_pad, D). Returns (gve, gvo, glx, gly, gat)."""
+    g_bm: (B·M·G, q_pad, D). `s_tiles`: per-level static window sizes (the
+    value must be packed with the same tuple). Returns
+    (gve, gvo, glx, gly, gat)."""
     BM, S_pad, D = value_e.shape
     BMG, LP, q_pad = lx.shape
     L = len(spatial_shapes)
     P = LP // L
-    ranges = _row_ranges_bwd(lx, ly, spatial_shapes, q_tile, s_tile, P)
+    s_tiles = _as_level_tiles(spatial_shapes, s_tiles)
+    ranges = _row_ranges_bwd(lx, ly, spatial_shapes, q_tile, s_tiles, P)
     lx, ly, at = (_tile_q(a, q_tile) for a in (lx, ly, at))
-    level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
+    level_starts, _ = _padded_level_starts(spatial_shapes, s_tiles,
+                                           tight=True)
     acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
         else jnp.float32
     ranges_spec = pl.BlockSpec((1, 1, L, 2), lambda bm, qt: (bm, qt, 0, 0),
@@ -783,7 +871,7 @@ def _bwd_call_rows(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
                              memory_space=pltpu.VMEM)
     kernel = functools.partial(_bwd_kernel_rows,
                                spatial_shapes=spatial_shapes,
-                               level_starts=level_starts, s_tile=s_tile,
+                               level_starts=level_starts, s_tiles=s_tiles,
                                P=P, acc_dtype=acc_dtype, groups=groups)
     nqt = q_pad // q_tile
     gve, gvo, glx, gly, gat = pl.pallas_call(
@@ -799,8 +887,6 @@ def _bwd_call_rows(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
             jax.ShapeDtypeStruct((BMG, nqt, LP, q_tile), jnp.float32),
             jax.ShapeDtypeStruct((BMG, nqt, LP, q_tile), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
-                        pltpu.VMEM((s_tile, q_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
@@ -812,24 +898,25 @@ def _bwd_call_rows(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
 
 
 def _bwd_kernel_rows_temporal(ranges_ref, *refs, spatial_shapes,
-                              level_starts, s_tile: int, P: int, acc_dtype,
+                              level_starts, s_tiles, P: int, acc_dtype,
                               F: int):
-    """`_bwd_kernel_rows` with F per-frame value operand pairs (index-mapped
-    like `_fwd_kernel_temporal`): global level lvl reads value slot lvl // L
-    at local level lvl % L and accumulates grad_value into that slot's OWN
-    per-program output block (slots are folded onto frames by the caller —
-    output blocks are never shared across programs, so no revisit hazard)."""
+    """`_bwd_kernel_rows` (region-free form) with F per-frame value operand
+    pairs (index-mapped like `_fwd_kernel_temporal`): global level lvl reads
+    value slot lvl // L at local level lvl % L and accumulates grad_value
+    into that slot's OWN per-program output block (slots are folded onto
+    frames by the caller — output blocks are never shared across programs,
+    so no revisit hazard)."""
     ve_refs = refs[:F]
     vo_refs = refs[F:2 * F]
     lx_ref, ly_ref, at_ref, g_ref = refs[2 * F:2 * F + 4]
     gve_refs = refs[2 * F + 4:3 * F + 4]
     gvo_refs = refs[3 * F + 4:4 * F + 4]
     glx_ref, gly_ref, gat_ref = refs[4 * F + 4:4 * F + 7]
-    we_ref, wo_ref = refs[4 * F + 7:]
     L = len(spatial_shapes)
     Qt = g_ref.shape[1]
     f32 = jnp.float32
-    rows0 = jax.lax.broadcasted_iota(jnp.int32, (s_tile, Qt), 0).astype(f32)
+    iotas = {s: jax.lax.broadcasted_iota(jnp.int32, (s, Qt), 0).astype(f32)
+             for s in sorted(set(s_tiles))}
     g = g_ref[0].astype(f32)                              # (Qt, D)
 
     qt_i = pl.program_id(1)
@@ -840,84 +927,30 @@ def _bwd_kernel_rows_temporal(ranges_ref, *refs, spatial_shapes,
             gve_refs[j][0] = jnp.zeros_like(gve_refs[j][0])
             gvo_refs[j][0] = jnp.zeros_like(gvo_refs[j][0])
 
+    def lvl_rows(lvl):
+        h, w = spatial_shapes[lvl % L]
+        lx = lx_ref[0, 0, lvl * P:(lvl + 1) * P, :]
+        ly = ly_ref[0, 0, lvl * P:(lvl + 1) * P, :]
+        at = at_ref[0, 0, lvl * P:(lvl + 1) * P, :]
+        entries, parts = _level_entries_bwd(lx, ly, at, h, w)
+        return entries, parts, at
+
     # Collected per level, stored as one aligned full-block write (see
     # `_bwd_kernel_rows`: 4-row-offset stores are not sublane-tile aligned).
     glx_rows, gly_rows, gat_rows = [], [], []
     for lvl in range(F * L):
         ll = lvl % L
         h, w = spatial_shapes[ll]
-        ve_ref = ve_refs[lvl // L]
-        vo_ref = vo_refs[lvl // L]
-        gve_ref = gve_refs[lvl // L]
-        gvo_ref = gvo_refs[lvl // L]
-        lx = lx_ref[0, 0, lvl * P:(lvl + 1) * P, :]
-        ly = ly_ref[0, 0, lvl * P:(lvl + 1) * P, :]
-        at = at_ref[0, 0, lvl * P:(lvl + 1) * P, :]
-        entries, parts = _level_entries_bwd(lx, ly, at, h, w)
+        s_l = s_tiles[ll]
+        entries, parts, at = lvl_rows(lvl)
         start_t = ranges_ref[0, 0, lvl, 0]
-        num_t = ranges_ref[0, 0, lvl, 1]
-        # SSA per-row carries — see `_bwd_kernel_rows`
-        zg = (jnp.zeros((1, Qt), f32),) * P
-
-        def body(t, carry, ll=ll, entries=entries, start_t=start_t,
-                 ve_ref=ve_ref, vo_ref=vo_ref, gve_ref=gve_ref,
-                 gvo_ref=gvo_ref):
-            ge_t, go_t, ge_b, go_b = carry
-            s0 = pl.multiple_of((start_t + t) * s_tile, s_tile)
-            base = level_starts[ll] + s0
-            vte = ve_ref[0, pl.ds(base, s_tile), :]
-            vto = vo_ref[0, pl.ds(base, s_tile), :]
-            cols = rows0 + s0.astype(f32)
-            we_ref[:] = jnp.zeros_like(we_ref)
-            wo_ref[:] = jnp.zeros_like(wo_ref)
-            zero = jnp.zeros((), we_ref.dtype)
-            for ide, wte, ido, wto in entries:
-                for p in range(P):
-                    we_ref[:] += jnp.where(ide[p:p + 1, :] == cols,
-                                           wte[p:p + 1, :], zero)
-                    wo_ref[:] += jnp.where(ido[p:p + 1, :] == cols,
-                                           wto[p:p + 1, :], zero)
-            gve_ref[0, pl.ds(base, s_tile), :] += jax.lax.dot(
-                we_ref[:].astype(acc_dtype), g.astype(acc_dtype),
-                preferred_element_type=jnp.float32).astype(gve_ref.dtype)
-            gvo_ref[0, pl.ds(base, s_tile), :] += jax.lax.dot(
-                wo_ref[:].astype(acc_dtype), g.astype(acc_dtype),
-                preferred_element_type=jnp.float32).astype(gvo_ref.dtype)
-            G_e = jax.lax.dot_general(
-                vte.astype(acc_dtype), g.astype(acc_dtype),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (s_tile, Qt)
-            G_o = jax.lax.dot_general(
-                vto.astype(acc_dtype), g.astype(acc_dtype),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            news = []
-            for (ide, _, ido, _), acc_e, acc_o in zip(
-                    entries, (ge_t, ge_b), (go_t, go_b)):
-                news.append((
-                    tuple(acc_e[p] + jnp.sum(
-                        jnp.where(ide[p:p + 1, :] == cols, G_e, 0.0),
-                        axis=0, keepdims=True) for p in range(P)),
-                    tuple(acc_o[p] + jnp.sum(
-                        jnp.where(ido[p:p + 1, :] == cols, G_o, 0.0),
-                        axis=0, keepdims=True) for p in range(P))))
-            return news[0][0], news[0][1], news[1][0], news[1][1]
-
-        ge_t, go_t, ge_b, go_b = (
-            jnp.concatenate(rows, axis=0) for rows in jax.lax.fori_loop(
-                0, num_t, body, (zg, zg, zg, zg)))
-
-        dx, dy, even_t, even_b, ml_t, mr_t, ml_b, mr_b = parts
-        gl_t = jnp.where(even_t, ge_t, go_t) * ml_t
-        gr_t = jnp.where(even_t, go_t, ge_t) * mr_t
-        gl_b = jnp.where(even_b, ge_b, go_b) * ml_b
-        gr_b = jnp.where(even_b, go_b, ge_b) * mr_b
-        top = (1 - dx) * gl_t + dx * gr_t
-        bot = (1 - dx) * gl_b + dx * gr_b
-        gat_lvl = (1 - dy) * top + dy * bot
-        glx_lvl = at * ((1 - dy) * (gr_t - gl_t)
-                        + dy * (gr_b - gl_b)) * np.float32(w)
-        gly_lvl = at * (bot - top) * np.float32(h)
+        s0 = pl.multiple_of(start_t, 8)
+        cols = iotas[s_l] + s0.astype(f32)
+        sums = _bwd_window(ve_refs[lvl // L], vo_refs[lvl // L],
+                           gve_refs[lvl // L], gvo_refs[lvl // L], entries,
+                           level_starts[ll] + s0, cols, s_l, P, g,
+                           acc_dtype)
+        glx_lvl, gly_lvl, gat_lvl = _bwd_chain(parts, at, sums, h, w)
         glx_rows.append(glx_lvl)
         gly_rows.append(gly_lvl)
         gat_rows.append(gat_lvl)
@@ -926,17 +959,70 @@ def _bwd_kernel_rows_temporal(ranges_ref, *refs, spatial_shapes,
     gly_ref[0, 0] = jnp.concatenate(gly_rows, axis=0)
     gat_ref[0, 0] = jnp.concatenate(gat_rows, axis=0)
 
+    live = [lvl for lvl in range(F * L)
+            if s_tiles[lvl % L]
+            < -(-spatial_shapes[lvl % L][0] * spatial_shapes[lvl % L][1]
+                // 2)]
+    if not live:
+        return
+    overflow = ranges_ref[0, 0, live[0], 1]
+    for lvl in live[1:]:
+        overflow = jnp.maximum(overflow, ranges_ref[0, 0, lvl, 1])
+
+    @pl.when(overflow > 1)
+    def _tail():
+        cx_rows = []
+        cy_rows = []
+        ca_rows = []
+        for lvl in range(F * L):
+            if lvl not in live:
+                z = jnp.zeros((P, Qt), f32)
+                cx_rows.append(z)
+                cy_rows.append(z)
+                ca_rows.append(z)
+                continue
+            ll = lvl % L
+            h, w = spatial_shapes[ll]
+            s_l = s_tiles[ll]
+            entries, parts, at = lvl_rows(lvl)
+            start_t = ranges_ref[0, 0, lvl, 0]
+            num_t = ranges_ref[0, 0, lvl, 1]
+            rows0 = iotas[s_l]
+
+            def body(t, carry, ll=ll, s_l=s_l, entries=entries,
+                     start_t=start_t, rows0=rows0,
+                     ve_ref=ve_refs[lvl // L], vo_ref=vo_refs[lvl // L],
+                     gve_ref=gve_refs[lvl // L],
+                     gvo_ref=gvo_refs[lvl // L]):
+                s0 = pl.multiple_of(start_t + t * s_l, 8)
+                cols = rows0 + s0.astype(f32)
+                sums = _bwd_window(ve_ref, vo_ref, gve_ref, gvo_ref,
+                                   entries, level_starts[ll] + s0, cols,
+                                   s_l, P, g, acc_dtype)
+                return _add_sums(carry, sums)
+
+            tail_sums = jax.lax.fori_loop(1, num_t, body,
+                                          _zero_sums(P, Qt))
+            cx_l, cy_l, ca_l = _bwd_chain(parts, at, tail_sums, h, w)
+            cx_rows.append(cx_l)
+            cy_rows.append(cy_l)
+            ca_rows.append(ca_l)
+        glx_ref[0, 0] += jnp.concatenate(cx_rows, axis=0)
+        gly_ref[0, 0] += jnp.concatenate(cy_rows, axis=0)
+        gat_ref[0, 0] += jnp.concatenate(ca_rows, axis=0)
+
 
 @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
 def _bwd_call_rows_temporal(spatial_shapes: Shapes, value_e, value_o, lx, ly,
-                            at, g_bm, q_tile: int, s_tile: int, T: int,
+                            at, g_bm, q_tile: int, s_tiles, T: int,
                             rule):
     """Temporal rows backward over per-frame packed values: value_e/value_o
     (T·M, S_pad, D) read via the forward's closed-form frame index maps (no
-    F×-stacked value materialization), rows (T·M, Lf·P, q_pad) f32. Returns
-    (gve_0..gve_{F-1}, gvo_0..gvo_{F-1}, glx, gly, gat) — per-SLOT value
-    grads in the program's own frame order; the caller folds slots onto
-    frames with the rule's frame table."""
+    F×-stacked value materialization), rows (T·M, Lf·P, q_pad) f32.
+    `s_tiles`: per-level static windows (value packed with the same tuple).
+    Returns (gve_0..gve_{F-1}, gvo_0..gvo_{F-1}, glx, gly, gat) — per-SLOT
+    value grads in the program's own frame order; the caller folds slots
+    onto frames with the rule's frame table."""
     TM, S_pad, D = value_e.shape
     M = TM // T
     F = 1 + _rule_window(rule, T)
@@ -944,9 +1030,11 @@ def _bwd_call_rows_temporal(spatial_shapes: Shapes, value_e, value_o, lx, ly,
     fused_shapes = _temporal_fused_shapes(spatial_shapes, F)
     P = LP // len(fused_shapes)
     Lf = F * len(spatial_shapes)
-    ranges = _row_ranges_bwd(lx, ly, fused_shapes, q_tile, s_tile, P)
+    s_tiles = _as_level_tiles(spatial_shapes, s_tiles)
+    ranges = _row_ranges_bwd(lx, ly, fused_shapes, q_tile, s_tiles * F, P)
     lx, ly, at = (_tile_q(a, q_tile) for a in (lx, ly, at))
-    level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
+    level_starts, _ = _padded_level_starts(spatial_shapes, s_tiles,
+                                           tight=True)
     acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
         else jnp.float32
     ranges_spec = pl.BlockSpec((1, 1, Lf, 2), lambda bm, qt: (bm, qt, 0, 0),
@@ -973,7 +1061,7 @@ def _bwd_call_rows_temporal(spatial_shapes: Shapes, value_e, value_o, lx, ly,
                              memory_space=pltpu.VMEM)
     kernel = functools.partial(_bwd_kernel_rows_temporal,
                                spatial_shapes=spatial_shapes,
-                               level_starts=level_starts, s_tile=s_tile,
+                               level_starts=level_starts, s_tiles=s_tiles,
                                P=P, acc_dtype=acc_dtype, F=F)
     specs = [_value_spec(j) for j in range(F)]
     nqt = q_pad // q_tile
@@ -987,8 +1075,6 @@ def _bwd_call_rows_temporal(spatial_shapes: Shapes, value_e, value_o, lx, ly,
         out_specs=tuple([gval_spec] * (2 * F)
                         + [row_spec, row_spec, row_spec]),
         out_shape=tuple([gval_shape] * (2 * F) + [row_shape] * 3),
-        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
-                        pltpu.VMEM((s_tile, q_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=_interpret(),
@@ -1007,11 +1093,13 @@ Q_TILE = 256
 S_TILE = 128          # PACKED rows per tile — covers 256 raster rows
 
 
-def _pack_levels(value_bm, spatial_shapes: Shapes, s_tile):
+def _pack_levels(value_bm, spatial_shapes: Shapes, s_tile,
+                 tight: bool = False):
     """(B·M, S, D) → (V_even, V_odd), each (B·M, S_pad, D): every level split
     by raster parity (V_even[m] = V[2m], V_odd[m] = V[2m+1]) and padded to an
     s_tile multiple in packed space. `s_tile` may be one int or a per-level
-    tuple (projection-fused path)."""
+    tuple (projection-fused path); `tight` must match
+    `_padded_level_starts`."""
     tiles = _as_level_tiles(spatial_shapes, s_tile)
     starts = _level_starts(spatial_shapes)
     BM, _, D = value_bm.shape
@@ -1022,7 +1110,8 @@ def _pack_levels(value_bm, spatial_shapes: Shapes, s_tile):
         s = tiles[lvl]
         seg = jax.lax.slice_in_dim(value_bm, starts[lvl], starts[lvl] + n,
                                    axis=1)
-        pad_rows = (_round_up(n2, s) + s) * 2 - n
+        target = _round_up(n2 + s, 32) if tight else _round_up(n2, s) + s
+        pad_rows = target * 2 - n
         seg = jnp.pad(seg, ((0, 0), (0, pad_rows), (0, 0)))
         seg = seg.reshape(BM, -1, 2, D)
         evens.append(seg[:, :, 0])
@@ -1030,10 +1119,11 @@ def _pack_levels(value_bm, spatial_shapes: Shapes, s_tile):
     return jnp.concatenate(evens, axis=1), jnp.concatenate(odds, axis=1)
 
 
-def _unpack_levels(packed_e, packed_o, spatial_shapes: Shapes, s_tile: int):
+def _unpack_levels(packed_e, packed_o, spatial_shapes: Shapes, s_tile,
+                   tight: bool = False):
     """Inverse of `_pack_levels`: interleave parity classes back into raster
     order along axis 1."""
-    pstarts, _ = _padded_level_starts(spatial_shapes, s_tile)
+    pstarts, _ = _padded_level_starts(spatial_shapes, s_tile, tight)
     BM, _, D = packed_e.shape
     parts = []
     for lvl, (h, w) in enumerate(spatial_shapes):
@@ -1199,8 +1289,12 @@ def _rows_bwd_core(spatial_shapes, n_queries, q_tile, value, lx, ly, at, g):
     MG = BMG // B
     groups = MG // M
     q_tile = q_tile or (128 if q_pad <= 128 else Q_TILE)
+    # per-level static windows (the region-free backward's straight-line
+    # window sizes — same sizing rule as the forward proj kernels)
+    s_tiles = _proj_s_tiles(tuple(spatial_shapes), q_tile)
     value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
-    value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
+    value_e, value_o = _pack_levels(value_bm, spatial_shapes, s_tiles,
+                                    tight=True)
     g_bm = jnp.transpose(g.reshape(B, n_queries, MG, D), (0, 2, 1, 3)) \
         .reshape(BMG, n_queries, D)
     g_bm = jnp.pad(g_bm, ((0, 0), (0, q_pad - n_queries), (0, 0))) \
@@ -1208,8 +1302,9 @@ def _rows_bwd_core(spatial_shapes, n_queries, q_tile, value, lx, ly, at, g):
     gve, gvo, glx, gly, gat = _bwd_call_rows(
         spatial_shapes, value_e, value_o, lx.astype(jnp.float32),
         ly.astype(jnp.float32), at.astype(jnp.float32), g_bm, q_tile,
-        S_TILE, groups)
-    gval = _unpack_levels(gve, gvo, spatial_shapes, S_TILE)
+        s_tiles, groups)
+    gval = _unpack_levels(gve, gvo, spatial_shapes, s_tiles,
+                          tight=True)
     gval = gval.reshape(B, M, S, D).transpose(0, 2, 1, 3)
     return gval, glx, gly, gat
 
@@ -1457,8 +1552,10 @@ def _temporal_bwd_core(spatial_shapes, n_queries, rule, q_tile, value,
     table = _temporal_frame_table(rule, T)                   # (T, W)
     slots = np.concatenate([np.arange(T)[:, None], table], axis=1)  # (T, F)
 
+    s_tiles = _proj_s_tiles(tuple(spatial_shapes), q_tile)
     value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(T * M, S, D)
-    value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
+    value_e, value_o = _pack_levels(value_bm, spatial_shapes, s_tiles,
+                                    tight=True)
     g_bm = jnp.transpose(g.reshape(T, n_queries, M, D), (0, 2, 1, 3)) \
         .reshape(T * M, n_queries, D)
     g_bm = jnp.pad(g_bm, ((0, 0), (0, q_pad - n_queries), (0, 0))) \
@@ -1466,10 +1563,11 @@ def _temporal_bwd_core(spatial_shapes, n_queries, rule, q_tile, value,
     outs = _bwd_call_rows_temporal(
         tuple(spatial_shapes), value_e, value_o, lx.astype(jnp.float32),
         ly.astype(jnp.float32), at.astype(jnp.float32), g_bm, q_tile,
-        S_TILE, T, rule)
+        s_tiles, T, rule)
     glx, gly, gat = outs[2 * F:]
     gslot = jnp.stack([
-        _unpack_levels(outs[j], outs[F + j], spatial_shapes, S_TILE)
+        _unpack_levels(outs[j], outs[F + j], spatial_shapes, s_tiles,
+                       tight=True)
         for j in range(F)])                                  # (F, T·M, S, D)
     gslot = gslot.reshape(F, T, M, S, D)
     onehot = jnp.asarray(slots.T[:, :, None] == np.arange(T)[None, None, :],
