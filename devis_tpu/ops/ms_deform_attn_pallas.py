@@ -240,7 +240,7 @@ def _taps(spatial_shapes: Shapes, loc, att):
             jnp.transpose(wt, (0, 2, 1, 3, 4)))
 
 
-def _row_ranges(lx, ly, spatial_shapes: Shapes, q_tile: int, s_tile: int,
+def _row_ranges(lx, ly, spatial_shapes: Shapes, q_tile: int, s_tile,
                 P: int):
     """Per (b·m, q-tile, level) packed s-window [base, count] computed from
     the kernel-layout location rows (B·MG, L·P, q_pad) — no materialized tap
@@ -254,6 +254,7 @@ def _row_ranges(lx, ly, spatial_shapes: Shapes, q_tile: int, s_tile: int,
     BMG, LP, q_pad = lx.shape
     L = LP // P
     nqt = q_pad // q_tile
+    tiles = _as_level_tiles(spatial_shapes, s_tile)
     mns, mxs = [], []
     for lvl, (h, w) in enumerate(spatial_shapes):
         x = lx[:, lvl * P:(lvl + 1) * P].reshape(BMG, P, nqt, q_tile) * w - 0.5
@@ -271,7 +272,8 @@ def _row_ranges(lx, ly, spatial_shapes: Shapes, q_tile: int, s_tile: int,
     mn = jnp.stack(mns, axis=-1).astype(jnp.int32)       # (BMG, nqt, L)
     mx = jnp.stack(mxs, axis=-1).astype(jnp.int32)
     base = (mn // 8) * 8
-    count = jnp.where(mx >= 0, (mx - base) // s_tile + 1, 0)
+    s_arr = jnp.asarray(tiles, jnp.int32)[None, None, :]
+    count = jnp.where(mx >= 0, (mx - base) // s_arr + 1, 0)
     return jnp.stack([jnp.where(mx >= 0, base, 0),
                       count.astype(jnp.int32)], axis=-1)
 
@@ -350,55 +352,92 @@ def _level_entries(lx, ly, at, h: int, w: int):
 
 
 def _fwd_kernel_fused(ranges_ref, ve_ref, vo_ref, lx_ref, ly_ref, at_ref,
-                      out_ref, we_ref, wo_ref, *, spatial_shapes,
-                      level_starts, s_tile: int, P: int, acc_dtype):
+                      out_ref, acc_ref, *, spatial_shapes,
+                      level_starts, s_tiles, P: int, acc_dtype):
     """One (b·m, q-tile) instance with in-kernel tap generation: operands are
     raw sampling locations/attention rows (L·P per cell) instead of
     pre-expanded tap indices/weights — 8/3 less operand traffic and no
-    XLA-side tap fusion/transpose/pad chain."""
+    XLA-side tap fusion/transpose/pad chain.
+
+    Region-free form (r5, same design as the proj kernels): ONE
+    straight-line window per level of a per-level static size plus a single
+    per-program `pl.when` overflow tail accumulating into a scratch. A
+    level with count 0 runs its window at base 0 — the entry weights carry
+    the validity masks, so W = 0 and the dot is a no-op."""
     D = out_ref.shape[-2]
     Qt = out_ref.shape[-1]
+    f32 = jnp.float32
     # hardware iota is integer-only; build i32 then convert to f32
-    rows0 = jax.lax.broadcasted_iota(
-        jnp.int32, (s_tile, Qt), 0).astype(jnp.float32)
-    acc_e = jnp.zeros((D, Qt), jnp.float32)
-    acc_o = jnp.zeros((D, Qt), jnp.float32)
+    iotas = {t: jax.lax.broadcasted_iota(jnp.int32, (t, Qt), 0).astype(f32)
+             for t in sorted(set(s_tiles))}
 
-    for lvl, (h, w) in enumerate(spatial_shapes):
+    def lvl_entries(lvl):
+        h, w = spatial_shapes[lvl]
         lx = lx_ref[0, 0, lvl * P:(lvl + 1) * P, :]
         ly = ly_ref[0, 0, lvl * P:(lvl + 1) * P, :]
         at = at_ref[0, 0, lvl * P:(lvl + 1) * P, :]
-        entries = _level_entries(lx, ly, at, h, w)
+        return _level_entries(lx, ly, at, h, w)
+
+    acc_e = jnp.zeros((D, Qt), f32)
+    acc_o = jnp.zeros((D, Qt), f32)
+    for lvl in range(len(spatial_shapes)):
+        s_l = s_tiles[lvl]
+        entries = lvl_entries(lvl)
         base_w = ranges_ref[0, 0, lvl, 0]          # 8-aligned window base
-        num_t = ranges_ref[0, 0, lvl, 1]
+        s0 = pl.multiple_of(base_w, 8)
+        vte = ve_ref[0, pl.ds(level_starts[lvl] + s0, s_l), :]
+        vto = vo_ref[0, pl.ds(level_starts[lvl] + s0, s_l), :]
+        cols = iotas[s_l] + s0.astype(f32)
+        we = _entry_tree(entries, cols, P, 0)
+        wo = _entry_tree(entries, cols, P, 1)
+        acc_e = acc_e + jax.lax.dot_general(
+            vte.astype(acc_dtype), we.astype(acc_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_o = acc_o + jax.lax.dot_general(
+            vto.astype(acc_dtype), wo.astype(acc_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-        def body(t, accs, lvl=lvl, entries=entries, base_w=base_w):
-            acc_e, acc_o = accs
-            s0 = pl.multiple_of(base_w + t * s_tile, 8)
-            vte = ve_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
-            vto = vo_ref[0, pl.ds(level_starts[lvl] + s0, s_tile), :]
-            cols = rows0 + s0.astype(jnp.float32)
-            we_ref[:] = jnp.zeros_like(we_ref)
-            wo_ref[:] = jnp.zeros_like(wo_ref)
-            zero = jnp.zeros((), we_ref.dtype)
-            for ide, wte, ido, wto in entries:
-                for p in range(P):
-                    we_ref[:] += jnp.where(ide[p:p + 1, :] == cols,
-                                           wte[p:p + 1, :], zero)
-                    wo_ref[:] += jnp.where(ido[p:p + 1, :] == cols,
-                                           wto[p:p + 1, :], zero)
-            acc_e = acc_e + jax.lax.dot_general(
-                vte.astype(acc_dtype), we_ref[:].astype(acc_dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_o = acc_o + jax.lax.dot_general(
-                vto.astype(acc_dtype), wo_ref[:].astype(acc_dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return acc_e, acc_o
+    live = [lvl for lvl, (h, w) in enumerate(spatial_shapes)
+            if s_tiles[lvl] < -(-h * w // 2)]
+    if not live:
+        out_ref[0, 0] = (acc_e + acc_o).astype(out_ref.dtype)
+        return
+    overflow = ranges_ref[0, 0, live[0], 1]
+    for lvl in live[1:]:
+        overflow = jnp.maximum(overflow, ranges_ref[0, 0, lvl, 1])
+    acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        acc_e, acc_o = jax.lax.fori_loop(0, num_t, body, (acc_e, acc_o))
-    out_ref[0, 0] = (acc_e + acc_o).astype(out_ref.dtype)
+    @pl.when(overflow > 1)
+    def _tail():
+        for lvl in live:
+            s_l = s_tiles[lvl]
+            entries = lvl_entries(lvl)
+            base_w = ranges_ref[0, 0, lvl, 0]
+            num_t = ranges_ref[0, 0, lvl, 1]
+            rows0 = iotas[s_l]
+
+            def body(t, carry, lvl=lvl, s_l=s_l, entries=entries,
+                     base_w=base_w, rows0=rows0):
+                s0 = pl.multiple_of(base_w + t * s_l, 8)
+                vte = ve_ref[0, pl.ds(level_starts[lvl] + s0, s_l), :]
+                vto = vo_ref[0, pl.ds(level_starts[lvl] + s0, s_l), :]
+                cols = rows0 + s0.astype(f32)
+                we = _entry_tree(entries, cols, P, 0)
+                wo = _entry_tree(entries, cols, P, 1)
+                acc_ref[:] += (jax.lax.dot_general(
+                    vte.astype(acc_dtype), we.astype(acc_dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                    vto.astype(acc_dtype), wo.astype(acc_dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                return carry
+            jax.lax.fori_loop(1, num_t, body, 0)
+
+    out_ref[0, 0] = (acc_e + acc_o + acc_ref[:]).astype(out_ref.dtype)
 
 
 def _bwd_kernel(ranges_ref, ve_ref, vo_ref, idx_ref, wt_ref, g_ref,
@@ -492,8 +531,10 @@ def _fwd_call_fused(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
     LP, q_pad = lx.shape[1], lx.shape[2]
     L = ranges.shape[2]
     P = LP // L
+    s_tiles = _as_level_tiles(spatial_shapes, s_tile)
     lx, ly, at = (_tile_q(a, q_tile) for a in (lx, ly, at))
-    level_starts, _ = _padded_level_starts(spatial_shapes, s_tile)
+    level_starts, _ = _padded_level_starts(spatial_shapes, s_tiles,
+                                           tight=True)
     acc_dtype = value_e.dtype if value_e.dtype == jnp.bfloat16 \
         else jnp.float32
     ranges_spec = pl.BlockSpec((1, 1, L, 2), lambda bm, qt: (bm, qt, 0, 0),
@@ -507,7 +548,7 @@ def _fwd_call_fused(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
     kernel = functools.partial(_fwd_kernel_fused,
                                spatial_shapes=spatial_shapes,
                                level_starts=level_starts,
-                               s_tile=s_tile, P=P, acc_dtype=acc_dtype)
+                               s_tiles=s_tiles, P=P, acc_dtype=acc_dtype)
     nqt = q_pad // q_tile
     out = pl.pallas_call(
         kernel,
@@ -518,8 +559,7 @@ def _fwd_call_fused(spatial_shapes: Shapes, value_e, value_o, lx, ly, at,
                                lambda bm, qt: (bm, qt, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BMG, nqt, D, q_tile), value_e.dtype),
-        scratch_shapes=[pltpu.VMEM((s_tile, q_tile), jnp.float32),
-                        pltpu.VMEM((s_tile, q_tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((D, q_tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
@@ -1194,11 +1234,13 @@ def _fwd_res(value, spatial_shapes, loc, att, q_tile=None):
         lx = jnp.pad(lx, qp, constant_values=-10.0)   # OOB → all weights 0
         ly = jnp.pad(ly, qp, constant_values=-10.0)
         at = jnp.pad(at, qp)
-    ranges = _row_ranges(lx, ly, spatial_shapes, q_tile, S_TILE, P)
+    s_tiles = _proj_s_tiles(tuple(spatial_shapes), q_tile)
+    ranges = _row_ranges(lx, ly, spatial_shapes, q_tile, s_tiles, P)
     value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
-    value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
+    value_e, value_o = _pack_levels(value_bm, spatial_shapes, s_tiles,
+                                    tight=True)
     out_bm = _fwd_call_fused(spatial_shapes, value_e, value_o, lx, ly, at,
-                             ranges, q_tile, S_TILE, groups)
+                             ranges, q_tile, s_tiles, groups)
     out = out_bm.reshape(B, MG, D, q_pad)[..., :Q]
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(B, Q, MG * D)
     return out.astype(value.dtype), (value, loc, att)
@@ -1263,13 +1305,16 @@ def _rows_fwd(value, spatial_shapes, lx, ly, at, n_queries, q_tile):
     groups = MG // M
     q_tile = q_tile or (128 if q_pad <= 128 else Q_TILE)
     assert q_pad % q_tile == 0, (q_pad, q_tile)
+    s_tiles = _proj_s_tiles(tuple(spatial_shapes), q_tile)
     ranges = _row_ranges(lx.astype(jnp.float32), ly.astype(jnp.float32),
-                         spatial_shapes, q_tile, S_TILE, LP // len(spatial_shapes))
+                         spatial_shapes, q_tile, s_tiles,
+                         LP // len(spatial_shapes))
     value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
-    value_e, value_o = _pack_levels(value_bm, spatial_shapes, S_TILE)
+    value_e, value_o = _pack_levels(value_bm, spatial_shapes, s_tiles,
+                                    tight=True)
     out_bm = _fwd_call_fused(spatial_shapes, value_e, value_o,
                              lx.astype(jnp.float32), ly.astype(jnp.float32),
-                             at.astype(jnp.float32), ranges, q_tile, S_TILE,
+                             at.astype(jnp.float32), ranges, q_tile, s_tiles,
                              groups)
     out = out_bm.reshape(B, MG, D, q_pad)[..., :n_queries]
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(B, n_queries, MG * D)
